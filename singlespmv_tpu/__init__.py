@@ -1,0 +1,15 @@
+"""singlespmv_tpu — a TPU-native sparse linear-algebra framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the reference
+single-node SpMV benchmark laboratory (hir0shim/singleSpMV): a swappable format zoo
+(COO, CSR, ELL, JDS, DIA, SS, CSS, CSR5-tiled + dense/XLA-sparse vendor baselines)
+behind a fixed (convert, spmv) op pair, a verified/calibrated/best-of-N benchmark
+harness with the reference's key-value report block, a matrix data layer (fixtures,
+generators, SuiteSparse tooling), a sweep runner + TSV pipeline, SpMM/SpGEMM/SpTRSV,
+and multi-chip sharding via jax.sharding/shard_map.
+"""
+from .config import Config, DEFAULT
+
+__version__ = "0.1.0"
+
+__all__ = ["Config", "DEFAULT", "__version__"]
