@@ -1,0 +1,175 @@
+"""Command-line interface.
+
+The reference builds one binary per (arch × format × params) configuration and runs
+``./bin/<prefix>-spmv.<arch> <matrix.mtx>`` (/root/reference/Makefile:10-21,
+src/main.cpp:17). Here one runtime CLI covers the whole configuration space:
+
+    python -m singlespmv_tpu bench matrix.mtx --format=csr5 --dtype=float32
+    python -m singlespmv_tpu sweep --todo=todo.csv --matrices dir/*.mtx --out log/
+    python -m singlespmv_tpu formats
+    python -m singlespmv_tpu info matrix.mtx          # counter.cpp analog
+    python -m singlespmv_tpu spy matrix.mtx           # visualizer.cpp analog
+    python -m singlespmv_tpu gen band 1024 --out m.mtx
+    python -m singlespmv_tpu format-logs run.log      # log/format.cpp analog
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import Config
+
+
+def _add_config_args(p: argparse.ArgumentParser):
+    p.add_argument("--format", default="csr", help="storage format (see `formats`)")
+    p.add_argument("--variant", default="optimized", choices=["simple", "optimized"])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64", "bfloat16"])
+    p.add_argument("--segment-width", type=int, default=2048)
+    p.add_argument("--n-block", type=int, default=1)
+    p.add_argument("--omega", type=int, default=128)
+    p.add_argument("--sigma", type=int, default=0, help="0 = auto-tune from nnz/row")
+    p.add_argument("--row-block", type=int, default=8)
+    p.add_argument("--index-bits", type=int, default=32, choices=[32, 64])
+    p.add_argument("--no-verify", action="store_true")
+    p.add_argument("--profiling", action="store_true")
+    p.add_argument("--calibrate-seconds", type=float, default=1.0)
+    p.add_argument("--trials", type=int, default=10)
+    p.add_argument("--quick", action="store_true",
+                   help="skip calibration: 1 trial x 3 iterations")
+
+
+def _config_from(args) -> Config:
+    return Config(
+        format=args.format, variant=args.variant, dtype=args.dtype,
+        segment_width=args.segment_width, n_block=args.n_block,
+        omega=args.omega, sigma=args.sigma, row_block=args.row_block,
+        index_bits=args.index_bits, verify=not args.no_verify,
+        profiling=args.profiling, calibrate_seconds=args.calibrate_seconds,
+        n_trials=args.trials,
+    )
+
+
+def cmd_bench(args) -> int:
+    from .harness.driver import run_benchmark
+
+    cfg = _config_from(args)
+    res = run_benchmark(args.matrix, cfg, quick=args.quick)
+    print(res.block)
+    if args.jsonl:
+        from .harness.report import to_jsonl
+        with open(args.jsonl, "a") as f:
+            f.write(to_jsonl(res.report) + "\n")
+    return 0 if (res.verify_ok or not cfg.verify) else 1
+
+
+def cmd_formats(args) -> int:
+    from .formats import available_formats
+
+    for f in available_formats():
+        print(f)
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .core.mmio import read_matrix_market
+    from .core.types import matrix_stats
+
+    coo = read_matrix_market(args.matrix, sum_duplicates=True)
+    for k, v in matrix_stats(coo).items():
+        print(f"{k:>12}\t{v}")
+    return 0
+
+
+def cmd_spy(args) -> int:
+    from .core.mmio import read_matrix_market
+    from .data.tools import spy_plot
+
+    coo = read_matrix_market(args.matrix, sum_duplicates=True)
+    print(spy_plot(coo, size=args.size))
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from .core.mmio import write_matrix_market
+    from .data.generators import generate, powerlaw
+
+    if args.shape == "powerlaw":
+        coo = powerlaw(args.n, args.nnz or args.n * 16, seed=args.seed)
+    else:
+        coo = generate(args.shape, args.n, args.param, seed=args.seed,
+                       artificial=args.artificial)
+    out = args.out or f"{args.shape}-{args.n}.mtx"
+    write_matrix_market(out, coo)
+    print(out)
+    return 0
+
+
+def cmd_format_logs(args) -> int:
+    from .harness.logfmt import format_logs
+
+    text = open(args.log).read() if args.log != "-" else sys.stdin.read()
+    print(format_logs(text, extra_keys=args.keys))
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    from .harness.sweep import run_sweep
+
+    return run_sweep(todo=args.todo, matrices=args.matrices, out_dir=args.out,
+                     quick=args.quick)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="singlespmv_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("bench", help="benchmark one (matrix, config)")
+    p.add_argument("matrix")
+    _add_config_args(p)
+    p.add_argument("--jsonl", help="append result to JSONL file")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("formats", help="list available formats")
+    p.set_defaults(fn=cmd_formats)
+
+    p = sub.add_parser("info", help="matrix stats (counter.cpp analog)")
+    p.add_argument("matrix")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("spy", help="ASCII spy plot (visualizer.cpp analog)")
+    p.add_argument("matrix")
+    p.add_argument("--size", type=int, default=32)
+    p.set_defaults(fn=cmd_spy)
+
+    p = sub.add_parser("gen", help="generate a test/artificial matrix")
+    p.add_argument("shape", choices=["band", "dense", "unbalance",
+                                     "random_unbalance", "random", "powerlaw"])
+    p.add_argument("n", type=int)
+    p.add_argument("param", type=int, nargs="?", default=None,
+                   help="shape parameter (band width / nnz / ...)")
+    p.add_argument("--nnz", type=int, default=None)
+    p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--artificial", action="store_true", help="val=1.0 variant")
+    p.add_argument("--out")
+    p.set_defaults(fn=cmd_gen)
+
+    p = sub.add_parser("format-logs", help="report blocks -> TSV (log/format.cpp)")
+    p.add_argument("log", help="log file, or - for stdin")
+    p.add_argument("--keys", nargs="*", default=None,
+                   help="extra report keys to include as columns")
+    p.set_defaults(fn=cmd_format_logs)
+
+    p = sub.add_parser("sweep", help="run a configuration sweep (eval_sbatch analog)")
+    p.add_argument("--todo", required=True, help="sweep table CSV")
+    p.add_argument("--matrices", nargs="+", required=True)
+    p.add_argument("--out", default="log")
+    p.add_argument("--quick", action="store_true")
+    p.set_defaults(fn=cmd_sweep)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

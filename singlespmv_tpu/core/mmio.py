@@ -176,15 +176,20 @@ def write_matrix_market(path, coo: COOMatrix, *, comment: Optional[str] = None):
             f.write(f"{int(r) + 1} {int(c) + 1} {float(v)!r}\n")
 
 
-def load_matrix(path, *, index_bits: int = 32, use_native: bool = True) -> COOMatrix:
+def load_matrix(path, *, index_bits: int = 32, sum_duplicates: bool = False,
+                use_native: bool = True) -> COOMatrix:
     """Load a .mtx file, preferring the native C++ parser when available."""
     if use_native:
         try:
             from . import native
 
-            coo = native.load_mtx(os.fspath(path), index_bits=index_bits)
+            coo = native.load_mtx(os.fspath(path), index_bits=index_bits,
+                                  sum_duplicates=sum_duplicates)
             if coo is not None:
                 return coo
+        except MatrixMarketError:
+            raise  # real parse error — don't mask it by re-parsing
         except Exception:
-            pass  # fall back to the Python reader
-    return read_matrix_market(path, index_bits=index_bits)
+            pass  # native lib unavailable: fall back to the Python reader
+    return read_matrix_market(path, index_bits=index_bits,
+                              sum_duplicates=sum_duplicates)

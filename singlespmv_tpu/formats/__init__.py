@@ -3,7 +3,7 @@ formats coexist at runtime and are selected by Config.format."""
 from __future__ import annotations
 
 from .base import (available_formats, convert, get_format, phases_fn,
-                   report_fields, spmv_fn, traffic_bytes)
+                   report_fields, spmm_fn, spmv_fn, traffic_bytes)
 
 _LOADED = False
 
@@ -13,9 +13,10 @@ def _ensure_loaded():
     if _LOADED:
         return
     _LOADED = True
-    from . import bcoo, coo, csr, csr5, css, dense, dia, ell, jds, ss
+    from . import bcoo, bsr, coo, csr, csr5, css, dense, dia, ell, jds, ss
     from .base import register_format
 
+    register_format("bsr", bsr)
     register_format("coo", coo)
     register_format("csr", csr)
     register_format("crs", csr)  # reference spelling (opt_crs)
@@ -31,5 +32,5 @@ def _ensure_loaded():
 
 __all__ = [
     "available_formats", "convert", "get_format", "phases_fn",
-    "report_fields", "spmv_fn", "traffic_bytes",
+    "report_fields", "spmm_fn", "spmv_fn", "traffic_bytes",
 ]

@@ -79,6 +79,20 @@ def spmv_fn(cfg: Config) -> Callable:
     return get_format(cfg.format).spmv
 
 
+def spmm_fn(cfg: Config) -> Callable:
+    """SpMM (dense-panel right-hand side).  Formats with a native MXU/scan path
+    export ``spmm``; others fall back to vmapping spmv over the panel columns."""
+    mod = get_format(cfg.format)
+    native = getattr(mod, "spmm", None)
+    if native is not None:
+        return native
+
+    def fallback(state, X):
+        return jax.vmap(mod.spmv, in_axes=(None, 1), out_axes=1)(state, X)
+
+    return fallback
+
+
 def phases_fn(cfg: Config) -> Optional[Callable]:
     return getattr(get_format(cfg.format), "phases", None)
 

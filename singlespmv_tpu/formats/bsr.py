@@ -1,0 +1,106 @@
+"""BSR — block-sparse rows with dense (bm × bn) tiles: the MXU format.
+
+No direct reference analog (the closest is CSR row-parallel,
+/root/reference/src/opt_crs.cpp:57-69) — this layout exists because TPUs pay for
+FLOPs with a 128×128 systolic array: nonzeros are gathered into dense bm×bn blocks
+so SpMV becomes a batched (bm×bn)·(bn) product and SpMM a batched matmul
+(``dot_general`` over the block batch → MXU), with a segment-sum over block rows.
+
+Blocks are stored sorted by (block_row, block_col); per-block data is dense with
+explicit zeros, so density of the blocking decides efficiency (report_fields exposes
+the fill ratio).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Config
+from ..core.types import COOMatrix, cdiv
+from .base import device_put, pytree_dataclass
+
+
+@pytree_dataclass(meta=("n_row", "n_col", "nnz", "bm", "bn", "n_blocks",
+                        "n_brow", "fill"))
+class BSRState:
+    n_row: int
+    n_col: int
+    nnz: int
+    bm: int
+    bn: int
+    n_blocks: int
+    n_brow: int
+    fill: float          # nnz / (n_blocks·bm·bn)
+    blocks: object       # (n_blocks, bm, bn) dense values
+    brow: object         # (n_blocks,) block-row id, sorted
+    bcol: object         # (n_blocks,) block-col id
+
+
+def convert(coo: COOMatrix, cfg: Config) -> BSRState:
+    bm = max(8, cfg.row_block)
+    bn = cfg.lane_width
+    n_brow = cdiv(max(coo.n_row, 1), bm)
+    key = (coo.row.astype(np.int64) // bm) * (2 ** 32) + coo.col.astype(np.int64) // bn
+    uniq, inv = np.unique(key, return_inverse=True)
+    n_blocks = max(len(uniq), 1)
+    blocks = np.zeros((n_blocks, bm, bn), dtype=cfg.np_dtype)
+    if coo.nnz:
+        lr = coo.row.astype(np.int64) % bm
+        lc = coo.col.astype(np.int64) % bn
+        np.add.at(blocks, (inv, lr, lc), coo.val.astype(cfg.np_dtype))
+        brow = (uniq // (2 ** 32)).astype(cfg.index_dtype)
+        bcol = (uniq % (2 ** 32)).astype(cfg.index_dtype)
+    else:
+        brow = np.zeros(1, dtype=cfg.index_dtype)
+        bcol = np.zeros(1, dtype=cfg.index_dtype)
+    fill = coo.nnz / float(n_blocks * bm * bn)
+    return BSRState(
+        n_row=coo.n_row, n_col=coo.n_col, nnz=coo.nnz, bm=bm, bn=bn,
+        n_blocks=n_blocks, n_brow=n_brow, fill=fill,
+        blocks=device_put(blocks), brow=device_put(brow), bcol=device_put(bcol),
+    )
+
+
+def spmv(state: BSRState, x):
+    import jax
+    import jax.numpy as jnp
+
+    n_col_pad = cdiv(state.n_col, state.bn) * state.bn
+    xp = jnp.zeros((n_col_pad,), x.dtype).at[: state.n_col].set(x)
+    xb = xp.reshape(-1, state.bn)[state.bcol]              # (n_blocks, bn)
+    # Batched (bm×bn)·(bn): one einsum → XLA batches onto MXU/VPU.
+    part = jnp.einsum("kij,kj->ki", state.blocks, xb,
+                      preferred_element_type=state.blocks.dtype)
+    yb = jax.ops.segment_sum(part, state.brow, num_segments=state.n_brow,
+                             indices_are_sorted=True)
+    return yb.reshape(-1)[: state.n_row]
+
+
+def spmm(state: BSRState, X):
+    """Y = A @ X with X (n_col, B): batched dense (bm×bn)@(bn×B) → MXU."""
+    import jax
+    import jax.numpy as jnp
+
+    b = X.shape[1]
+    n_col_pad = cdiv(state.n_col, state.bn) * state.bn
+    Xp = jnp.zeros((n_col_pad, b), X.dtype).at[: state.n_col].set(X)
+    Xb = Xp.reshape(-1, state.bn, b)[state.bcol]            # (n_blocks, bn, B)
+    part = jax.lax.dot_general(
+        state.blocks, Xb,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=state.blocks.dtype,
+    )                                                       # (n_blocks, bm, B)
+    Yb = jax.ops.segment_sum(part, state.brow, num_segments=state.n_brow,
+                             indices_are_sorted=True)
+    return Yb.reshape(-1, b)[: state.n_row]
+
+
+def report_fields(state: BSRState, cfg: Config) -> dict:
+    return {"BlockM": state.bm, "BlockN": state.bn, "nBlocks": state.n_blocks,
+            "BlockFill": round(state.fill, 6)}
+
+
+def traffic_bytes(state: BSRState, cfg: Config) -> int:
+    isz = 4 if cfg.index_bits == 32 else 8
+    vsz = np.dtype(cfg.dtype).itemsize
+    return (state.n_blocks * (state.bm * state.bn + state.bn) * vsz
+            + state.n_blocks * 2 * isz + state.n_row * vsz)

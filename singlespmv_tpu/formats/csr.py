@@ -69,5 +69,14 @@ def phases(state: CSRState):
     return {"Mul": mul, "Sum": reduce}
 
 
+def spmm(state: CSRState, X):
+    """Y = A @ X, X (n_col, B): nnz-expanded products + sorted segment-sum."""
+    import jax
+
+    products = state.val[:, None] * X[state.col]
+    return jax.ops.segment_sum(products, state.rows, num_segments=state.n_row,
+                               indices_are_sorted=True)
+
+
 def report_fields(state: CSRState, cfg: Config) -> dict:
     return {"MaxRowNnz": state.max_row_nnz}

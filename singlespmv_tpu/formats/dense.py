@@ -45,6 +45,14 @@ def spmv(state: DenseState, x):
     return y[: state.n_row]
 
 
+def spmm(state: DenseState, X):
+    """Y = A @ X on the MXU."""
+    Xp = jnp.zeros((state.mat.shape[1], X.shape[1]), dtype=X.dtype)
+    Xp = Xp.at[: state.n_col].set(X)
+    return jnp.dot(state.mat, Xp,
+                   preferred_element_type=state.mat.dtype)[: state.n_row]
+
+
 def traffic_bytes(state: DenseState, cfg: Config) -> int:
     vsz = np.dtype(cfg.dtype).itemsize
     return (state.mat.shape[0] * state.mat.shape[1] + state.n_col + state.n_row) * vsz

@@ -65,6 +65,21 @@ def phases(state: ELLState):
     return {"Mul": mul, "Sum": reduce}
 
 
+def spmm(state: ELLState, X):
+    """Y = A @ X, X (n_col, B): scan over the K ELL slots, one row-gather each —
+    peak memory stays (n_row_pad, B) instead of (K, n_row_pad, B)."""
+    import jax
+    import jax.numpy as jnp
+
+    def body(acc, kv):
+        colk, valk = kv
+        return acc + valk[:, None] * X[colk], None
+
+    acc0 = jnp.zeros((state.n_row_pad, X.shape[1]), X.dtype)
+    acc, _ = jax.lax.scan(body, acc0, (state.col, state.val))
+    return acc[: state.n_row]
+
+
 def report_fields(state: ELLState, cfg: Config) -> dict:
     return {"K": state.k, "PaddingRatio": round(
         state.k * state.n_row_pad / max(state.nnz, 1), 4)}

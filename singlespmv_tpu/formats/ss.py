@@ -54,13 +54,18 @@ class SSState:
 
 
 def build_stream(coo: COOMatrix, cfg: Config, *, rows=None, cols=None, vals=None,
-                 sorted_combine: bool = True, variant=None):
-    """Shared SS stream builder (also used by CSS with block-reordered triplets)."""
+                 sorted_combine: bool = True, variant=None,
+                 min_h: int = 0, min_r_max: int = 0):
+    """Shared SS stream builder (also used by CSS with block-reordered triplets).
+
+    ``min_h`` / ``min_r_max`` force minimum static shapes — used by the distributed
+    path (parallel.spmv) so every shard's state stacks into one array.
+    """
     w = max(cfg.lane_width, round_up(cfg.segment_width, cfg.lane_width))
     if rows is None:
         rows, cols, vals = coo.row, coo.col, coo.val
     nnz = int(rows.shape[0])
-    nnz_pad = round_up(max(nnz, 1), w)
+    nnz_pad = max(round_up(max(nnz, 1), w), min_h * w)
     h = nnz_pad // w
     idx = cfg.index_dtype
 
@@ -84,7 +89,7 @@ def build_stream(coo: COOMatrix, cfg: Config, *, rows=None, cols=None, vals=None
     heads2d = heads_flat.reshape(h, w)
     rank2d = np.cumsum(heads2d, axis=1) - 1
     n_runs = rank2d[:, -1] + 1
-    r_max = round_up(int(n_runs.max(initial=1)), 8)
+    r_max = max(round_up(int(n_runs.max(initial=1)), 8), min_r_max)
 
     end_pos = np.zeros((h, r_max), dtype=np.int32)
     rank_rows = np.full((h, r_max), coo.n_row, dtype=idx)

@@ -1,0 +1,200 @@
+"""Benchmark driver — the L4 layer.
+
+Re-designs the reference's benchmark main (/root/reference/src/main.cpp:17-209) as a
+library function:
+
+    load → convert ("OptimizeProblem") → verify twice → calibrate loop count
+    (doubling until ≥ calibrate_seconds, main.cpp:58-71) → n_trials × loop timed
+    SpMVs keeping the best trial (main.cpp:80-102) → key-value report block
+    (main.cpp:109-207).
+
+TPU-specific semantics:
+- the jitted spmv is compiled once up front (compile time is reported separately,
+  the analog of `make` time, not counted in the hot loop);
+- a timed trial dispatches `loop` asynchronous spmv calls and blocks on the last —
+  back-to-back device execution, like the reference's tight loop;
+- verify-twice is kept even though JAX kernels cannot corrupt their operands
+  (frozen pytrees): it still catches convert-time aliasing bugs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import Config
+from ..core.mmio import load_matrix as _load_mtx
+from ..core.oracle import verify_result
+from ..core.rng import create_random_vector
+from ..core.timing import now
+from ..core.types import COOMatrix
+from .. import formats
+from .report import FORMAT_NAMES, format_block, get_basename
+from .roofline import detect_chip, roofline
+
+
+@dataclasses.dataclass
+class BenchResult:
+    report: Dict[str, object]      # ordered report block (reference key schema)
+    gflops: float
+    seconds: float                 # best per-SpMV seconds
+    loop: int
+    verify_ok: bool
+    y: np.ndarray                  # final output vector
+
+    @property
+    def block(self) -> str:
+        return format_block(self.report)
+
+
+def _architecture() -> str:
+    import jax
+
+    return {"tpu": "TPU", "cpu": "CPU", "gpu": "GPU"}.get(
+        jax.default_backend(), jax.default_backend().upper()
+    )
+
+
+def load_matrix(path, cfg: Config) -> COOMatrix:
+    return _load_mtx(path, index_bits=cfg.index_bits, sum_duplicates=True)
+
+
+def run_benchmark(
+    matrix,                      # path or COOMatrix
+    cfg: Config = None,
+    *,
+    x: Optional[np.ndarray] = None,
+    name: Optional[str] = None,
+    quick: bool = False,         # skip calibration (tests): 1 trial × 3 iterations
+    log=lambda msg: print(msg, file=sys.stderr),
+) -> BenchResult:
+    import jax
+
+    cfg = cfg or Config()
+    if isinstance(matrix, COOMatrix):
+        coo, mat_name = matrix, (name or "in-memory")
+    else:
+        mat_name = name or get_basename(matrix)
+        log(f"Loading matrix {matrix} ...")
+        coo = load_matrix(matrix, cfg)
+
+    if x is None:
+        x = create_random_vector(coo.n_col)  # deterministic, seed 3 (main.cpp:18)
+    xd = jax.numpy.asarray(np.asarray(x, dtype=cfg.np_dtype))
+
+    # --- OptimizeProblem (format conversion), timed (CSR5 reports this too) ---
+    t0 = now()
+    state = formats.convert(coo, cfg)
+    state = jax.block_until_ready(state)
+    optimize_s = now() - t0
+
+    spmv = jax.jit(formats.spmv_fn(cfg))
+    t0 = now()
+    y = jax.block_until_ready(spmv(state, xd))
+    compile_s = now() - t0
+
+    # --- verify twice (main.cpp:40-56; catches operand-corrupting converts) ---
+    verify_ok = True
+    vdetails = {}
+    if cfg.verify:
+        for trial in range(2):
+            y = jax.block_until_ready(spmv(state, xd))
+            ok, vdetails = verify_result(coo, x, np.asarray(y), dtype=cfg.np_dtype)
+            verify_ok = verify_ok and ok
+            if not ok:
+                log(f"VERIFY FAILED (pass {trial}): {vdetails}")
+
+    # --- calibration: double loop until a trial takes >= calibrate_seconds ---
+    if quick:
+        loop, n_trials = 3, 1
+    else:
+        loop, n_trials = 1, cfg.n_trials
+        while loop < cfg.max_loop:
+            t0 = now()
+            for _ in range(loop):
+                y = spmv(state, xd)
+            jax.block_until_ready(y)
+            dt = now() - t0
+            if dt >= cfg.calibrate_seconds:
+                break
+            loop *= 2
+
+    # --- best-of-N timed trials (main.cpp:80-102) ---
+    best = float("inf")
+    for _ in range(n_trials):
+        t0 = now()
+        for _ in range(loop):
+            y = spmv(state, xd)
+        jax.block_until_ready(y)
+        best = min(best, (now() - t0) / loop)
+
+    flops = 2.0 * coo.nnz                        # main.cpp:196 / CSR5 utils.h:17-20
+    gflops = flops / best / 1e9 if best > 0 else 0.0
+
+    # --- per-phase profile (PROF_BEGIN/END analog; un-fused = honest split) ---
+    phase_perf: Dict[str, float] = {}
+    phases = formats.phases_fn(cfg)
+    if cfg.profiling and phases:
+        ph = phases(state)
+        jitted, inputs = {}, {}
+        cur = xd
+        for pname, fn in ph.items():
+            jfn = jax.jit(fn)
+            inputs[pname] = cur
+            cur = jax.block_until_ready(jfn(state, cur))
+            jitted[pname] = jfn
+        for pname, jfn in jitted.items():
+            arg = inputs[pname]
+            t0 = now()
+            for _ in range(loop):
+                out = jfn(state, arg)
+            jax.block_until_ready(out)
+            phase_perf[pname] = (now() - t0) / loop
+
+    chip = detect_chip()
+    traffic = formats.traffic_bytes(state, cfg)
+    roof = roofline(traffic, coo.nnz, best, chip)
+
+    # --- report block, reference key schema first (main.cpp:109-207) ---
+    report: Dict[str, object] = {
+        "Matrix": mat_name,
+        "Architecture": _architecture(),
+        "MatrixFormat": FORMAT_NAMES.get(cfg.format, cfg.format.upper()),
+        "Variant": cfg.variant.upper(),
+        "Dtype": cfg.dtype,
+    }
+    report.update(formats.report_fields(state, cfg))
+    report.update({
+        "nRow": coo.n_row,
+        "nCol": coo.n_col,
+        "nNnz": coo.nnz,
+        "LoopCount": loop,
+        "Time(s)": best,
+        "Performance(GFLOPS)": gflops,
+    })
+    if phase_perf:
+        # MulPerf/SumPerf split (main.cpp:173-174); Sum = all non-Mul phases.
+        mul_s = phase_perf.get("Mul", 0.0)
+        sum_s = sum(v for k, v in phase_perf.items() if k != "Mul")
+        if mul_s > 0:
+            report["MulPerf"] = flops / mul_s / 1e9 / 2  # one flop class per phase
+        if sum_s > 0:
+            report["SumPerf"] = flops / sum_s / 1e9 / 2
+        for pname, sec in phase_perf.items():
+            report[f"PhaseTime-{pname}(s)"] = sec
+    report.update(roof)
+    report.update({
+        "OptimizeTime(s)": optimize_s,
+        "CompileTime(s)": compile_s,
+        "nDevice": len(jax.devices()),
+        "Verify": "PASS" if (cfg.verify and verify_ok) else
+                  ("FAIL" if cfg.verify else "SKIPPED"),
+    })
+    if cfg.verify and vdetails:
+        report["MaxAbsErr"] = vdetails["max_abs_err"]
+        report["MaxRelErr"] = vdetails["max_rel_err"]
+
+    return BenchResult(report=report, gflops=gflops, seconds=best, loop=loop,
+                       verify_ok=verify_ok, y=np.asarray(y))

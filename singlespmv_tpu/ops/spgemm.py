@@ -1,0 +1,86 @@
+"""SpGEMM — sparse × sparse matrix multiply (north-star op).
+
+No reference analog (the reference is SpMV-only); design follows the row-merge
+family the SS/CSR5 machinery belongs to, with TPU static-shape discipline:
+
+1. B is laid out as ELL (padded rows, K_b slots) — regular gathers.
+2. Every A-nonzero (i, k, va) expands to K_b candidate products
+   (i, B.col[k, :], va · B.val[k, :]) — an (nnz_A, K_b) rectangle, fully vectorized.
+3. Candidates are key-sorted by (i, j) (``lax.sort`` pairs) and duplicate keys are
+   segment-summed via a head-flag prefix rank — the scan/sort replacement for the
+   hash tables a CPU/GPU SpGEMM would use (TPUs have no atomics).
+
+Everything is jit-compatible with static output capacity nnz_A × K_b; the true
+output nnz is returned as a device scalar.  Use ``spgemm_coo`` for a host-side
+COOMatrix result.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Config
+from ..core.types import COOMatrix
+from ..formats import ell as ell_format
+
+
+def spgemm_arrays(a_state, b_state, n_col_b: int):
+    """C = A·B from two ELL-T states; returns (keys, vals, n_unique) padded arrays.
+
+    keys: (cap,) int64 sorted row-major flat indices i·n_col_b + j (ghost = cap
+    sentinel for annihilated/padded products); vals: (cap,) accumulated values
+    aligned with keys' first occurrence; n_unique: device scalar count.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    # A in ELL-T: col/val are (K_a, n_row_pad). Expand per (slot, row).
+    ka, nra = a_state.col.shape
+    kb, nrb = b_state.col.shape
+    arow = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (ka, nra), 1), (ka, nra))
+    acol = a_state.col
+    aval = a_state.val
+
+    # For each A entry (slot s, row i): partner row acol[s,i] of B.
+    bcol = b_state.col[:, acol]          # (K_b, K_a, n_row_pad)
+    bval = b_state.val[:, acol]
+    prod = aval[None] * bval             # (K_b, K_a, n_row_pad)
+    out_i = jnp.broadcast_to(arow[None], prod.shape)
+    key = out_i.astype(jnp.int64) * n_col_b + bcol.astype(jnp.int64)
+
+    ghost = jnp.int64(a_state.n_row) * n_col_b + n_col_b  # > any real key
+    key = jnp.where(prod != 0, key, ghost).reshape(-1)
+    vals = prod.reshape(-1)
+
+    key_sorted, val_sorted = jax.lax.sort_key_val(key, vals)
+    heads = jnp.concatenate(
+        [jnp.ones((1,), bool), key_sorted[1:] != key_sorted[:-1]])
+    seg = jnp.cumsum(heads) - 1                       # dense rank of each key
+    cap = key.shape[0]
+    sums = jax.ops.segment_sum(val_sorted, seg, num_segments=cap,
+                               indices_are_sorted=True)
+    first = jnp.where(heads, jnp.arange(cap), cap)
+    first = jax.ops.segment_min(first, seg, num_segments=cap,
+                                indices_are_sorted=True)
+    uniq_keys = jnp.where(first < cap, key_sorted[jnp.minimum(first, cap - 1)],
+                          ghost)
+    n_unique = jnp.sum((uniq_keys != ghost).astype(jnp.int32))
+    return uniq_keys, sums, n_unique
+
+
+def spgemm_coo(a: COOMatrix, b: COOMatrix, cfg: Config = None) -> COOMatrix:
+    """Host-facing C = A·B as a COOMatrix (explicit zeros dropped)."""
+    assert a.n_col == b.n_row, "inner dimensions must agree"
+    cfg = cfg or Config(dtype="float64")
+    a_state = ell_format.convert(a, cfg)
+    b_state = ell_format.convert(b, cfg)
+    keys, vals, n = spgemm_arrays(a_state, b_state, b.n_col)
+    keys = np.asarray(keys)
+    vals = np.asarray(vals)
+    n = int(n)
+    keys, vals = keys[:n], vals[:n]
+    live = vals != 0
+    keys, vals = keys[live], vals[live]
+    return COOMatrix.from_triplets(
+        a.n_row, b.n_col, (keys // b.n_col).astype(np.int64),
+        (keys % b.n_col).astype(np.int64), vals, sort=True)

@@ -1,0 +1,12 @@
+"""Multi-chip / multi-host parallelism.
+
+The reference is single-node (its only scale-out is SLURM job farming,
+/root/reference/script/eval_sbatch.sh); this package is the north-star extension:
+matrices row/column-partitioned over a ``jax.sharding.Mesh``, the dense vector's
+remote segments exchanged with XLA collectives (``all_gather`` / ``psum``) inside
+``shard_map``, riding ICI on real hardware.
+"""
+from .mesh import make_mesh, device_count
+from .spmv import DistSpMV, partition_rows_balanced
+
+__all__ = ["make_mesh", "device_count", "DistSpMV", "partition_rows_balanced"]

@@ -1,0 +1,70 @@
+"""Distributed SpMV tests on the 8-virtual-device CPU mesh."""
+import numpy as np
+import pytest
+
+from singlespmv_tpu.config import Config
+from singlespmv_tpu.core.oracle import reference_spmv
+from singlespmv_tpu.core.rng import create_random_vector
+from singlespmv_tpu.data.fixtures import fixture_10x10
+from singlespmv_tpu.data.generators import generate, powerlaw
+from singlespmv_tpu.parallel import DistSpMV, make_mesh, partition_rows_balanced
+from singlespmv_tpu.parallel.spmv import partition_rows_balanced as prb
+
+
+CFG = Config(format="ss", dtype="float64", segment_width=128)
+
+
+def check(coo, mesh, **kw):
+    x = create_random_vector(coo.n_col, seed=5)
+    op = DistSpMV.convert(coo, CFG, mesh, **kw)
+    y = np.asarray(op(x))
+    ref = reference_spmv(coo, x)
+    np.testing.assert_allclose(y, ref, rtol=1e-9, atol=1e-9)
+
+
+class TestPartition:
+    def test_balanced_covers_all_rows(self):
+        coo = powerlaw(100, 1500, seed=3)
+        perm = partition_rows_balanced(coo, 4)
+        real = perm[perm < coo.n_row]
+        assert sorted(real.tolist()) == list(range(coo.n_row))
+
+    def test_nnz_balance(self):
+        coo = powerlaw(256, 8000, seed=4)
+        perm = prb(coo, 8)
+        lengths = coo.row_lengths()
+        loads = [
+            lengths[p[p < coo.n_row]].sum() for p in perm
+        ]
+        assert max(loads) <= 1.5 * max(np.mean(loads), 1)
+
+
+class TestDistSpMV:
+    def test_row_mesh(self):
+        check(powerlaw(200, 3000, seed=6),
+              make_mesh((("row", 8),)), col_axis=None)
+
+    def test_row_col_mesh(self):
+        check(powerlaw(200, 3000, seed=7), make_mesh((("row", 4), ("col", 2))))
+
+    def test_col_only_mesh(self):
+        check(generate("unbalance", 64, seed=8),
+              make_mesh((("row", 1), ("col", 8))))
+
+    def test_gather_x_halo_path(self):
+        check(generate("band", 96, 5, seed=9),
+              make_mesh((("row", 8),)), col_axis=None, gather_x=True)
+
+    def test_empty_rows_and_fixture(self):
+        check(fixture_10x10(), make_mesh((("row", 2), ("col", 2))))
+
+    def test_rectangular(self):
+        rng = np.random.default_rng(0)
+        from singlespmv_tpu.core.types import COOMatrix
+
+        n_row, n_col, nnz = 60, 150, 900
+        coo = COOMatrix.from_triplets(
+            n_row, n_col, rng.integers(0, n_row, nnz),
+            rng.integers(0, n_col, nnz), rng.uniform(-1, 1, nnz),
+            sum_duplicates=True)
+        check(coo, make_mesh((("row", 4), ("col", 2))))
