@@ -113,6 +113,78 @@ def cmd_format_logs(args) -> int:
     return 0
 
 
+def cmd_confirm(args) -> int:
+    """Smoke-run every format over the fixture suite (confirm_cpu.sh analog)."""
+    from .data import fixtures as fx
+    from .data.generators import generate
+    from .formats import available_formats
+    from .harness.driver import run_benchmark
+
+    mats = [(n, f()) for n, f in fx.ALL_FIXTURES.items()]
+    mats.append(("band-64", generate("band", 64, 5, seed=1)))
+    fmts = args.formats or [f for f in available_formats() if f != "crs"]
+    bad = 0
+    for fmt in fmts:
+        for name, coo in mats:
+            cfg = Config(format=fmt, dtype=args.dtype)
+            try:
+                res = run_benchmark(coo, cfg, name=name, quick=True,
+                                    log=lambda m: None)
+                ok = res.verify_ok
+            except Exception as e:
+                print(f"{fmt:>8} {name:<12} ERROR {e}")
+                bad += 1
+                continue
+            print(f"{fmt:>8} {name:<12} {'PASS' if ok else 'FAIL'}"
+                  f"  {res.gflops:.3f} GFLOPS")
+            bad += 0 if ok else 1
+    print(f"confirm: {'ALL PASS' if bad == 0 else f'{bad} FAILURES'}")
+    return 1 if bad else 0
+
+
+def cmd_suite(args) -> int:
+    """Materialize matrix suites (artificial gen.sh / natural download.sh)."""
+    import os
+
+    from .core.mmio import write_matrix_market
+
+    os.makedirs(args.out, exist_ok=True)
+    if args.suite == "artificial":
+        from .data.generators import generate
+
+        sizes = args.sizes or [512, 1024, 2048, 4096, 8192, 16384, 32768]
+        for kind in ("band", "unbalance", "random"):
+            for n in sizes:
+                p = os.path.join(args.out, f"{kind}-{n}.mtx")
+                if not os.path.exists(p):
+                    write_matrix_market(p, generate(kind, n, artificial=True,
+                                                    seed=3))
+                    print(p)
+        for n in [s for s in (sizes if args.sizes else [512, 1024, 2048, 4096])]:
+            p = os.path.join(args.out, f"dense-{n}.mtx")
+            if not os.path.exists(p) and n <= 4096:
+                write_matrix_market(p, generate("dense", n, artificial=True,
+                                                seed=3))
+                print(p)
+        return 0
+    if args.suite == "test":
+        from .data import fixtures as fx
+
+        for name, f in fx.ALL_FIXTURES.items():
+            p = os.path.join(args.out, f"{name}.mtx")
+            write_matrix_market(p, f())
+            print(p)
+        return 0
+    # natural
+    from .data.suitesparse import ensure_suite
+
+    status = ensure_suite(args.out, download=not args.no_download,
+                          subset=args.only or None)
+    for k, v in status.items():
+        print(f"{k:>24}  {v}")
+    return 0 if all(v in ("present", "extracted") for v in status.values()) else 1
+
+
 def cmd_sweep(args) -> int:
     from .harness.sweep import run_sweep
 
@@ -159,6 +231,20 @@ def main(argv=None) -> int:
     p.add_argument("--keys", nargs="*", default=None,
                    help="extra report keys to include as columns")
     p.set_defaults(fn=cmd_format_logs)
+
+    p = sub.add_parser("confirm", help="smoke-run all formats (confirm_cpu.sh)")
+    p.add_argument("--formats", nargs="*", default=None)
+    p.add_argument("--dtype", default="float32")
+    p.set_defaults(fn=cmd_confirm)
+
+    p = sub.add_parser("suite", help="materialize a matrix suite")
+    p.add_argument("suite", choices=["test", "artificial", "natural"])
+    p.add_argument("--out", default="matrices")
+    p.add_argument("--sizes", nargs="*", type=int, default=None)
+    p.add_argument("--only", nargs="*", default=None,
+                   help="natural: subset of matrix names")
+    p.add_argument("--no-download", action="store_true")
+    p.set_defaults(fn=cmd_suite)
 
     p = sub.add_parser("sweep", help="run a configuration sweep (eval_sbatch analog)")
     p.add_argument("--todo", required=True, help="sweep table CSV")

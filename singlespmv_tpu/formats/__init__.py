@@ -3,7 +3,7 @@ formats coexist at runtime and are selected by Config.format."""
 from __future__ import annotations
 
 from .base import (available_formats, convert, get_format, phases_fn,
-                   report_fields, spmm_fn, spmv_fn, traffic_bytes)
+                   report_fields, spmm_fn, spmv_fn, to_coo, traffic_bytes)
 
 _LOADED = False
 
@@ -32,5 +32,5 @@ def _ensure_loaded():
 
 __all__ = [
     "available_formats", "convert", "get_format", "phases_fn",
-    "report_fields", "spmm_fn", "spmv_fn", "traffic_bytes",
+    "report_fields", "spmm_fn", "spmv_fn", "to_coo", "traffic_bytes",
 ]

@@ -93,6 +93,11 @@ def spmm_fn(cfg: Config) -> Callable:
     return fallback
 
 
+def to_coo(state, cfg: Config) -> COOMatrix:
+    """Inverse conversion back to host COO (the CSR5 ``asCSR`` analog)."""
+    return get_format(cfg.format).to_coo(state)
+
+
 def phases_fn(cfg: Config) -> Optional[Callable]:
     return getattr(get_format(cfg.format), "phases", None)
 

@@ -43,3 +43,11 @@ def convert(coo: COOMatrix, cfg: Config) -> BCOOState:
 
 def spmv(state: BCOOState, x):
     return state.mat @ x
+
+
+def to_coo(state: BCOOState) -> COOMatrix:
+    """Inverse conversion."""
+    idx = np.asarray(state.mat.indices)[: state.nnz]
+    val = np.asarray(state.mat.data)[: state.nnz]
+    return COOMatrix.from_triplets(state.n_row, state.n_col, idx[:, 0],
+                                   idx[:, 1], val, sort=True)

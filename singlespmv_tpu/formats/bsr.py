@@ -104,3 +104,16 @@ def traffic_bytes(state: BSRState, cfg: Config) -> int:
     vsz = np.dtype(cfg.dtype).itemsize
     return (state.n_blocks * (state.bm * state.bn + state.bn) * vsz
             + state.n_blocks * 2 * isz + state.n_row * vsz)
+
+
+def to_coo(state: BSRState) -> COOMatrix:
+    """Inverse conversion (explicit zeros dropped)."""
+    blocks = np.asarray(state.blocks)
+    brow = np.asarray(state.brow).astype(np.int64)
+    bcol = np.asarray(state.bcol).astype(np.int64)
+    b, lr, lc = np.nonzero(blocks)
+    rows = brow[b] * state.bm + lr
+    cols = bcol[b] * state.bn + lc
+    keep = (rows < state.n_row) & (cols < state.n_col)
+    return COOMatrix.from_triplets(state.n_row, state.n_col, rows[keep],
+                                   cols[keep], blocks[b, lr, lc][keep], sort=True)

@@ -64,3 +64,11 @@ def phases(state: COOState):
 
 def report_fields(state: COOState, cfg: Config) -> dict:
     return {"nNnzPad": state.nnz_pad}
+
+
+def to_coo(state: COOState) -> COOMatrix:
+    """Inverse conversion (the analog of CSR5's asCSR round-trip)."""
+    return COOMatrix.from_triplets(
+        state.n_row, state.n_col,
+        np.asarray(state.row)[: state.nnz], np.asarray(state.col)[: state.nnz],
+        np.asarray(state.val)[: state.nnz], sort=False)

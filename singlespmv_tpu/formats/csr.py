@@ -80,3 +80,11 @@ def spmm(state: CSRState, X):
 
 def report_fields(state: CSRState, cfg: Config) -> dict:
     return {"MaxRowNnz": state.max_row_nnz}
+
+
+def to_coo(state: CSRState) -> COOMatrix:
+    """Inverse conversion (the analog of CSR5's asCSR round-trip)."""
+    return COOMatrix.from_triplets(
+        state.n_row, state.n_col,
+        np.asarray(state.rows)[: state.nnz], np.asarray(state.col)[: state.nnz],
+        np.asarray(state.val)[: state.nnz], sort=False)

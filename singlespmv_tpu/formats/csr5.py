@@ -173,3 +173,22 @@ def traffic_bytes(state: CSR5State, cfg: Config) -> int:
     stream = state.n_tile * state.w
     combine = state.n_normal * state.r_max + state.n_fast
     return stream * (isz + 2 * vsz) + combine * (isz + vsz) + state.n_row * vsz
+
+
+def to_coo(state: CSR5State) -> COOMatrix:
+    """Inverse conversion (asCSR analog, anonymouslib_avx2.h asCSR; explicit
+    zeros dropped)."""
+    from .ss import stream_rows
+
+    frows = np.repeat(np.asarray(state.fast_rows).astype(np.int64), state.w)
+    fcol = np.asarray(state.fast_col).reshape(-1)
+    fval = np.asarray(state.fast_val).reshape(-1)
+    nrows = stream_rows(state.heads, state.rank_rows).reshape(-1)
+    ncol = np.asarray(state.col).reshape(-1)
+    nval = np.asarray(state.val).reshape(-1)
+    rows = np.concatenate([frows, nrows.astype(np.int64)])
+    cols = np.concatenate([fcol, ncol])
+    vals = np.concatenate([fval, nval])
+    keep = (rows < state.n_row) & (vals != 0)
+    return COOMatrix.from_triplets(state.n_row, state.n_col, rows[keep],
+                                   cols[keep], vals[keep], sort=True)

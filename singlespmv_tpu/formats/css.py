@@ -4,58 +4,147 @@ Reference: /root/reference/src/opt_css.cpp — columns split into N_BLOCK blocks
 gathered x window stays cache-resident (:33-45); per-block SS structures with
 per-block log-trees, y accumulated across blocks (:198-303).
 
-TPU-native design: the nnz stream is reordered by (column-block, row, col) and runs
-through the same SS machinery (formats.ss.build_stream) — run boundaries fall at
-block boundaries automatically because the sort key changes.  Each (block, row) run
-is combined into y by the final scatter, which sums a row's per-block partials; this
-replaces the reference's per-block tree + cross-block accumulation.  The x-locality
-payoff on TPU is VMEM residency of the x window in the Pallas variant: each block's
-gather touches only n_col/N_BLOCK entries of x.
+TPU-native design — the flagship irregular-matrix path:
+
+- "optimized" variant: the stream is ordered by (col // 128, row, col) with each
+  128-column block's sub-stream padded to a whole number of W-wide stream rows, so
+  every stream row reads ONE 128-lane row of the x table.  SpMV then runs the fused
+  Pallas kernel (ops.pallas.blockgather): lane-wise VMEM gather (~80× faster than
+  XLA's general gather on TPU) + multiply + in-register segmented scan, followed by
+  the shared run-end extraction / combine (formats.ss.reduce).  The reference's
+  per-block tree + cross-block y accumulation collapse into the final segment-sum,
+  which also sums a row's per-block partials.
+- "simple" variant: same reordered stream with cfg.n_block-wide blocks (the
+  reference's sweepable N_BLOCK), computed via the XLA SS engines — the x-locality
+  ordering still helps caches on CPU backends.
 """
 from __future__ import annotations
 
 import numpy as np
 
 from ..config import Config
-from ..core.types import COOMatrix, cdiv
+from ..core.types import COOMatrix, cdiv, round_up
 from . import ss
-from .base import pytree_dataclass
+from .base import device_put, pytree_dataclass
+
+LANES = 128
 
 
 @pytree_dataclass(meta=("n_row", "n_col", "nnz", "w", "h", "r_max", "variant",
                         "n_step", "step_counts", "sorted_combine",
-                        "n_block", "block_cols"))
+                        "n_block", "block_cols", "n_xrow"))
 class CSSState(ss.SSState):
     n_block: int = 1
     block_cols: int = 0
+    n_xrow: int = 1       # rows of the (B, 128) x table
+    block_ids: object = None  # (H,) int32 — x-table row per stream row (optimized)
 
 
 def convert(coo: COOMatrix, cfg: Config) -> CSSState:
-    n_block = max(1, cfg.n_block)
-    block_cols = cdiv(max(coo.n_col, 1), n_block)
+    w = max(cfg.lane_width, round_up(cfg.segment_width, cfg.lane_width))
+    optimized = cfg.variant == "optimized"
+    if optimized:
+        block_cols = LANES
+        n_block = cdiv(max(coo.n_col, 1), block_cols)
+    else:
+        n_block = max(1, cfg.n_block)
+        block_cols = cdiv(max(coo.n_col, 1), n_block)
+
     blk = coo.col // block_cols
     order = np.lexsort((coo.col, coo.row, blk))
-    base = ss.build_stream(
-        coo, cfg,
-        rows=coo.row[order], cols=coo.col[order], vals=coo.val[order],
-        sorted_combine=False,  # rows are sorted within a block, not globally
-    )
+    rows, cols, vals = coo.row[order], coo.col[order], coo.val[order]
+
+    if optimized:
+        # Pad each 128-column block's sub-stream to a multiple of 8·W so every
+        # kernel tile (8 stream rows) lives in ONE block (pads: ghost row,
+        # col = block base, val = 0).
+        tile_elems = 8 * w
+        sblk = blk[order]
+        present, counts = (np.unique(sblk, return_counts=True)
+                           if coo.nnz else (np.zeros(1, np.int64),
+                                            np.zeros(1, np.int64)))
+        padded = np.maximum(tile_elems,
+                            (np.ceil(counts / tile_elems) * tile_elems)
+                            .astype(np.int64))
+        total = int(padded.sum())
+        prow = np.full(total, coo.n_row, dtype=np.int64)
+        pcol = np.zeros(total, dtype=coo.col.dtype)
+        pval = np.zeros(total, dtype=np.float64)
+        out_start = np.zeros(len(present), dtype=np.int64)
+        np.cumsum(padded[:-1], out=out_start[1:])
+        in_start = np.zeros(len(present), dtype=np.int64)
+        np.cumsum(counts[:-1], out=in_start[1:])
+        for i, b in enumerate(present):
+            s, c, o = int(in_start[i]), int(counts[i]), int(out_start[i])
+            prow[o: o + c] = rows[s: s + c]
+            pcol[o: o + c] = cols[s: s + c]
+            pval[o: o + c] = vals[s: s + c]
+            pcol[o + c: o + int(padded[i])] = int(b) * block_cols  # in-block pad
+        base = ss.build_stream(coo, cfg, rows=prow, cols=pcol, vals=pval,
+                               sorted_combine=False)
+        # One block id per (8, W) kernel tile (total % (8w) == 0 by construction).
+        blk_per_tile = (pcol.reshape(-1, tile_elems)[:, 0]
+                        // block_cols).astype(np.int32)
+    else:
+        base = ss.build_stream(coo, cfg, rows=rows, cols=cols, vals=vals,
+                               sorted_combine=False)
+        blk_per_tile = np.zeros(cdiv(base.h, 8), dtype=np.int32)
+
     d = {f: getattr(base, f) for f in (
-        "n_row", "n_col", "nnz", "w", "h", "r_max", "variant", "n_step",
+        "n_row", "n_col", "w", "h", "r_max", "variant", "n_step",
         "step_counts", "sorted_combine", "col", "val", "heads", "end_pos",
         "rank_rows")}
-    return CSSState(n_block=n_block, block_cols=block_cols, **d)
+    return CSSState(nnz=coo.nnz, n_block=n_block, block_cols=block_cols,
+                    n_xrow=cdiv(max(coo.n_col, 1), LANES),
+                    block_ids=device_put(blk_per_tile), **d)
 
 
-mul = ss.mul
-scan = ss.scan
-reduce = ss.reduce
-spmv = ss.spmv
-phases = ss.phases
+def spmv(state: CSSState, x):
+    import jax.numpy as jnp
+
+    if state.variant == "optimized":
+        from ..ops.pallas.blockgather import block_gather_scan
+
+        xp = jnp.zeros((state.n_xrow * LANES,), x.dtype)
+        xp = xp.at[: state.n_col].set(x)
+        scanned = block_gather_scan(
+            state.block_ids, state.col, state.val,
+            state.heads.astype(jnp.int32), xp.reshape(state.n_xrow, LANES))
+        return ss.reduce(state, scanned)
+    return ss.spmv(state, x)
+
+
+def mul(state: CSSState, x):
+    return ss.mul(state, x)
+
+
+def phases(state: CSSState):
+    if state.variant == "optimized":
+        return {"MulScan": spmv_scan_phase, "Sum2": ss.reduce}
+    return ss.phases(state)
+
+
+def spmv_scan_phase(state: CSSState, x):
+    import jax.numpy as jnp
+
+    from ..ops.pallas.blockgather import block_gather_scan
+
+    xp = jnp.zeros((state.n_xrow * LANES,), x.dtype).at[: state.n_col].set(x)
+    return block_gather_scan(state.block_ids, state.col, state.val,
+                             state.heads.astype(jnp.int32),
+                             xp.reshape(state.n_xrow, LANES))
+
+
 traffic_bytes = ss.traffic_bytes
 
 
 def report_fields(state: CSSState, cfg: Config) -> dict:
     out = ss.report_fields(state, cfg)
     out["N_BLOCK"] = state.n_block
+    out["BlockCols"] = state.block_cols
     return out
+
+
+def to_coo(state: CSSState) -> COOMatrix:
+    """Inverse conversion — same reconstruction as SS (rows re-sorted)."""
+    return ss.to_coo(state)

@@ -56,3 +56,11 @@ def spmm(state: DenseState, X):
 def traffic_bytes(state: DenseState, cfg: Config) -> int:
     vsz = np.dtype(cfg.dtype).itemsize
     return (state.mat.shape[0] * state.mat.shape[1] + state.n_col + state.n_row) * vsz
+
+
+def to_coo(state: DenseState) -> COOMatrix:
+    """Inverse conversion (explicit zeros dropped)."""
+    mat = np.asarray(state.mat)[: state.n_row, : state.n_col]
+    r, c = np.nonzero(mat)
+    return COOMatrix.from_triplets(state.n_row, state.n_col, r, c, mat[r, c],
+                                   sort=True)

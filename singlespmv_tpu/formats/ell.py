@@ -90,3 +90,13 @@ def traffic_bytes(state: ELLState, cfg: Config) -> int:
     vsz = np.dtype(cfg.dtype).itemsize
     stored = state.k * state.n_row_pad
     return stored * (isz + vsz) + (stored + state.n_row) * vsz
+
+
+def to_coo(state: ELLState) -> COOMatrix:
+    """Inverse conversion; explicit stored zeros are dropped (they are
+    indistinguishable from ELL padding)."""
+    col = np.asarray(state.col)
+    val = np.asarray(state.val)
+    k, r = np.nonzero(val)
+    return COOMatrix.from_triplets(state.n_row, state.n_col, r, col[k, r],
+                                   val[k, r], sort=True)

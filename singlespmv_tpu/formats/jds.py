@@ -69,3 +69,14 @@ def phases(state: JDSState):
 
 def report_fields(state: JDSState, cfg: Config) -> dict:
     return {"MaxLength": state.k}
+
+
+def to_coo(state: JDSState) -> COOMatrix:
+    """Inverse conversion; un-permutes rows (explicit zeros dropped)."""
+    col = np.asarray(state.col)
+    val = np.asarray(state.val)
+    inv = np.asarray(state.inv_perm)
+    perm = np.argsort(inv, kind="stable")  # local slot -> global row
+    k, r = np.nonzero(val)
+    return COOMatrix.from_triplets(state.n_row, state.n_col, perm[r], col[k, r],
+                                   val[k, r], sort=True)

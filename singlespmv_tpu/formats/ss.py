@@ -163,3 +163,20 @@ def traffic_bytes(state: SSState, cfg: Config) -> int:
             + stream * vsz             # x gather (counted once)
             + combine * (isz + vsz)    # end_pos/rank_rows + partial traffic
             + state.n_row * vsz)       # y write
+
+
+def stream_rows(heads, rank_rows) -> np.ndarray:
+    """Recover each stream element's row id from heads + per-run row table."""
+    heads = np.asarray(heads)
+    rank = np.cumsum(heads, axis=1) - 1
+    return np.take_along_axis(np.asarray(rank_rows), rank, axis=1)
+
+
+def to_coo(state: SSState) -> COOMatrix:
+    """Inverse conversion (the analog of CSR5's asCSR; explicit zeros dropped)."""
+    rows = stream_rows(state.heads, state.rank_rows)
+    col = np.asarray(state.col)
+    val = np.asarray(state.val)
+    keep = (rows < state.n_row) & (val != 0)
+    return COOMatrix.from_triplets(state.n_row, state.n_col, rows[keep],
+                                   col[keep], val[keep], sort=True)

@@ -57,6 +57,34 @@ def _architecture() -> str:
     )
 
 
+def make_chained_runner(fn, arg_template):
+    """Jitted ``run_n(state, arg, n)``: apply fn n times ON DEVICE.
+
+    The reference times a tight host loop of SpMV calls (main.cpp:80-102); on TPU a
+    host loop measures dispatch RPC latency (tens of ms through the device tunnel),
+    not the kernel.  So the timed loop is a ``lax.fori_loop`` in one executable:
+    each iteration perturbs the (shape-preserved) input by out[0]·tiny — a real but
+    numerically negligible data dependency that stops XLA from CSE-ing the repeated
+    applications.  n is a traced argument: calibration never recompiles.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dt = np.dtype(arg_template.dtype)
+    tiny = np.finfo(dt).tiny if np.issubdtype(dt, np.floating) else 0
+
+    @jax.jit
+    def run_n(state, arg, n):
+        def body(i, a):
+            out = fn(state, a)
+            s = out.reshape(-1)[0].astype(a.dtype)
+            return a + s * jnp.asarray(tiny, a.dtype)
+
+        return jax.lax.fori_loop(0, n, body, arg)
+
+    return run_n
+
+
 def load_matrix(path, cfg: Config) -> COOMatrix:
     return _load_mtx(path, index_bits=cfg.index_bits, sum_duplicates=True)
 
@@ -107,28 +135,32 @@ def run_benchmark(
                 log(f"VERIFY FAILED (pass {trial}): {vdetails}")
 
     # --- calibration: double loop until a trial takes >= calibrate_seconds ---
+    run_n = make_chained_runner(formats.spmv_fn(cfg), xd)
+    jax.block_until_ready(run_n(state, xd, 1))  # compile the chained runner
     if quick:
         loop, n_trials = 3, 1
     else:
         loop, n_trials = 1, cfg.n_trials
         while loop < cfg.max_loop:
             t0 = now()
-            for _ in range(loop):
-                y = spmv(state, xd)
-            jax.block_until_ready(y)
+            jax.block_until_ready(run_n(state, xd, loop))
             dt = now() - t0
             if dt >= cfg.calibrate_seconds:
                 break
             loop *= 2
 
-    # --- best-of-N timed trials (main.cpp:80-102) ---
+    # --- best-of-N timed trials (main.cpp:80-102), loop chained on device ---
     best = float("inf")
     for _ in range(n_trials):
         t0 = now()
-        for _ in range(loop):
-            y = spmv(state, xd)
-        jax.block_until_ready(y)
+        jax.block_until_ready(run_n(state, xd, loop))
         best = min(best, (now() - t0) / loop)
+    # Subtract the one-call dispatch floor measured with n=0 (pure RPC latency).
+    t0 = now()
+    jax.block_until_ready(run_n(state, xd, 0))
+    dispatch_floor = now() - t0
+    if loop > 1:
+        best = max(best - dispatch_floor / loop, 1e-12)
 
     flops = 2.0 * coo.nnz                        # main.cpp:196 / CSR5 utils.h:17-20
     gflops = flops / best / 1e9 if best > 0 else 0.0
@@ -138,19 +170,16 @@ def run_benchmark(
     phases = formats.phases_fn(cfg)
     if cfg.profiling and phases:
         ph = phases(state)
-        jitted, inputs = {}, {}
-        cur = xd
+        inputs, cur = {}, xd
         for pname, fn in ph.items():
-            jfn = jax.jit(fn)
             inputs[pname] = cur
-            cur = jax.block_until_ready(jfn(state, cur))
-            jitted[pname] = jfn
-        for pname, jfn in jitted.items():
+            cur = jax.block_until_ready(jax.jit(fn)(state, cur))
+        for pname, fn in ph.items():
             arg = inputs[pname]
+            runner = make_chained_runner(fn, arg)
+            jax.block_until_ready(runner(state, arg, 1))
             t0 = now()
-            for _ in range(loop):
-                out = jfn(state, arg)
-            jax.block_until_ready(out)
+            jax.block_until_ready(runner(state, arg, loop))
             phase_perf[pname] = (now() - t0) / loop
 
     chip = detect_chip()
