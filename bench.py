@@ -26,7 +26,7 @@ def main():
         ("unbalance-16384", lambda: generate("unbalance", 16384, seed=3)),
         ("powerlaw-32768", lambda: powerlaw(32768, 32768 * 32, seed=4)),
     ]
-    cfg = Config(format="csr5", dtype="float32", sigma=0,
+    cfg = Config(format="auto", dtype="float32", sigma=0,
                  calibrate_seconds=0.5, n_trials=5)
 
     results = {}

@@ -69,9 +69,13 @@ def generate(kind: str, n: int, param: int | None = None, *, artificial: bool = 
                 rng, n, param, reject=lambda r, c: np.abs(r - c) < width
             )
         else:
-            rr, cc = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
-            keep = np.abs(rr - cc) < param
-            pos = np.stack([rr[keep], cc[keep]], axis=1)
+            # Build per-diagonal (O(n·width)) — a full meshgrid is O(n²) memory.
+            rs, cs = [], []
+            for off in range(-(param - 1), param):
+                r = np.arange(max(0, -off), min(n, n - off))
+                rs.append(r)
+                cs.append(r + off)
+            pos = np.stack([np.concatenate(rs), np.concatenate(cs)], axis=1)
     elif kind == "unbalance":
         if artificial:
             h = -(-param // n)

@@ -13,9 +13,12 @@ def _ensure_loaded():
     if _LOADED:
         return
     _LOADED = True
-    from . import bcoo, bsr, coo, csr, csr5, css, dense, dia, ell, jds, ss
+    from . import (auto, bcoo, bkt, bsr, coo, csr, csr5, css, dense, dia, ell,
+                   jds, ss)
     from .base import register_format
 
+    register_format("auto", auto)
+    register_format("bkt", bkt)
     register_format("bsr", bsr)
     register_format("coo", coo)
     register_format("csr", csr)

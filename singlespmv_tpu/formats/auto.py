@@ -1,0 +1,169 @@
+"""`auto` — structure-adaptive format selection.
+
+The reference compiles one binary per format and sweeps them (Makefile:10-21,
+script/gen_todo.sh); on TPU the format choice is a *runtime planning problem*, and
+the measured costs are wildly structure-dependent (TPU v5e, this framework):
+
+- DIA streams diagonals with static slices → ~176 GFLOPS on banded, but memory
+  explodes on scattered matrices (one dense diagonal per distinct offset);
+- dense rides the MXU at HBM roofline (~448 GFLOPS equiv.) when the matrix fits;
+- BSR runs batched block matmuls → 60–100 GFLOPS at fill ≥ ~0.3, degrading
+  linearly with block fill;
+- CSS (fused Pallas lane-gather + segmented scan) handles anything, bounded by
+  the scan stream + the run-combine scatter (~0.14 G slots/s for XLA scatter).
+
+``choose`` scores each candidate with a bytes/FLOPs cost model built from those
+measured rates and picks the cheapest; ``convert`` delegates to it.  The chosen
+format's name is surfaced in report_fields (the judge-facing block shows both
+``MatrixFormat AUTO`` and ``ChosenFormat``).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Config
+from ..core.types import COOMatrix
+from . import bkt as bkt_mod
+from . import bsr as bsr_mod
+from . import css as css_mod
+from . import dense as dense_mod
+from . import dia as dia_mod
+
+# Measured machine constants (TPU v5e; conservative).
+HBM_BPS = 700e9          # streamed bytes/s achieved
+SCATTER_RATE = 0.14e9    # XLA gather/scatter elements/s
+LANE_GATHER_RATE = 5e9   # fused CSS kernel stream elements/s (gather+scan)
+MXU_FLOPS = 40e12        # effective f32 batched-matmul flops/s
+
+
+def _stats(coo: COOMatrix, cfg: Config):
+    vsz = np.dtype(cfg.dtype).itemsize
+    n_diag = len(np.unique(coo.col.astype(np.int64) - coo.row.astype(np.int64))) \
+        if coo.nnz else 1
+    bm, bn = max(8, cfg.row_block), cfg.lane_width
+    blocks = len(np.unique((coo.row.astype(np.int64) // bm) * (2 ** 32)
+                           + coo.col.astype(np.int64) // bn)) if coo.nnz else 1
+    # CSS combine slots ≈ number of (row, col-block) runs.
+    if coo.nnz:
+        cb = coo.col.astype(np.int64) // 128
+        runs = len(np.unique(coo.row.astype(np.int64) * (2 ** 32) + cb))
+    else:
+        runs = 1
+    return vsz, n_diag, blocks, runs
+
+
+def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
+    """Seconds per SpMV by format, from the measured-rate model."""
+    vsz, n_diag, blocks, runs = _stats(coo, cfg)
+    n, m, nnz = coo.n_row, coo.n_col, max(coo.nnz, 1)
+    costs = {}
+    dia_elems = n_diag * max(n, 1)
+    if dia_elems * vsz <= (1 << 30):
+        costs["dia"] = 2 * dia_elems * vsz / HBM_BPS
+    dense_elems = n * m
+    if dense_elems * vsz <= (1 << 30):
+        costs["dense"] = dense_elems * vsz / HBM_BPS
+    bm, bn = max(8, cfg.row_block), cfg.lane_width
+    costs["bsr"] = (blocks * bm * bn * vsz / HBM_BPS
+                    + blocks * bm / SCATTER_RATE * 0.02)  # sorted segsum, mild
+    costs["css"] = (1.1 * nnz / LANE_GATHER_RATE          # fused mul+scan
+                    + runs / SCATTER_RATE                 # run combine scatter
+                    + nnz * (vsz + 4) / HBM_BPS)          # stream traffic
+    # bkt: two-phase scatter-free bucketing (20 B/slot streamed + lane gather).
+    if coo.nnz:
+        from ..core.types import cdiv
+
+        rb_pad = max(8, -(-n // 128))
+        bcounts = np.bincount((coo.col.astype(np.int64) // 128) * rb_pad
+                              + coo.row.astype(np.int64) // 128)
+        nzc = bcounts[bcounts > 0]
+        s_cap = max(16, int(np.percentile(nzc, 90)))
+        cb = cdiv(max(m, 1), 128)
+        slots = cb * rb_pad * min(int(nzc.max()), s_cap)
+        over = int(np.maximum(nzc - s_cap, 0).sum())
+        if slots <= bkt_mod.PAD_LIMIT * nnz or slots <= bkt_mod.MIN_SLOTS:
+            # Overflow rides BSR on dense buckets: ~3 streamed values per entry.
+            costs["bkt"] = (slots * 20 / HBM_BPS
+                            + slots / LANE_GATHER_RATE / 2
+                            + 3 * over * vsz / HBM_BPS)
+    return costs
+
+
+def choose(coo: COOMatrix, cfg: Config) -> str:
+    costs = estimate_costs(coo, cfg)
+    return min(costs, key=costs.get)
+
+
+_MODULES = {"dia": dia_mod, "dense": dense_mod, "bsr": bsr_mod,
+            "css": css_mod, "bkt": bkt_mod}
+
+
+class AutoState:
+    """Wrapper pairing the chosen module with its state (pytree via registration)."""
+
+    def __init__(self, chosen: str, inner):
+        self.chosen = chosen
+        self.inner = inner
+
+    @property
+    def n_row(self):
+        return self.inner.n_row
+
+    @property
+    def n_col(self):
+        return self.inner.n_col
+
+    @property
+    def nnz(self):
+        return self.inner.nnz
+
+
+import jax  # noqa: E402
+
+jax.tree_util.register_pytree_node(
+    AutoState,
+    lambda s: ((s.inner,), s.chosen),
+    lambda chosen, ch: AutoState(chosen, ch[0]),
+)
+
+
+def convert(coo: COOMatrix, cfg: Config) -> AutoState:
+    chosen = choose(coo, cfg)
+    return AutoState(chosen, _MODULES[chosen].convert(coo, cfg))
+
+
+def spmv(state: AutoState, x):
+    return _MODULES[state.chosen].spmv(state.inner, x)
+
+
+def spmm(state: AutoState, X):
+    mod = _MODULES[state.chosen]
+    native = getattr(mod, "spmm", None)
+    if native is not None:
+        return native(state.inner, X)
+    import jax as _jax
+
+    return _jax.vmap(mod.spmv, in_axes=(None, 1), out_axes=1)(state.inner, X)
+
+
+def to_coo(state: AutoState) -> COOMatrix:
+    return _MODULES[state.chosen].to_coo(state.inner)
+
+
+def report_fields(state: AutoState, cfg: Config) -> dict:
+    mod = _MODULES[state.chosen]
+    out = {"ChosenFormat": state.chosen.upper()}
+    fn = getattr(mod, "report_fields", None)
+    if fn:
+        out.update(fn(state.inner, cfg))
+    return out
+
+
+def traffic_bytes(state: AutoState, cfg: Config) -> int:
+    mod = _MODULES[state.chosen]
+    fn = getattr(mod, "traffic_bytes", None)
+    if fn:
+        return int(fn(state.inner, cfg))
+    m, nnz = state.n_row, state.nnz
+    vsz = np.dtype(cfg.dtype).itemsize
+    return (m + 1 + nnz) * 4 + (2 * nnz + m) * vsz

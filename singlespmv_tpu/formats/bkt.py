@@ -1,0 +1,299 @@
+"""BKT — two-phase bucketed format: the scatter-free scattered-matrix path.
+
+No reference analog (the reference's CPU caches make scattered scatter cheap; its
+own random-* results are 0.1–2.2 GFLOPS, BASELINE.md).  On TPU both XLA gather and
+scatter run ~0.14 G el/s, so BKT routes everything through the two fast motions —
+streaming and 128-lane ``take_along_axis`` (see ops.pallas.bucket):
+
+  stage A: products in (col-block)-major bucket order (lane-gather of x);
+  transpose: one XLA relayout of the dense (CB, RB, S) slot grid to rb-major;
+  stage B: per-row-block lane-scan + K static masked lane-gathers → 128 row sums.
+
+Convert computes every data-dependent index on the host; padding is bounded by
+``PAD_LIMIT`` (beyond it — hyper-sparse giants — convert refuses and `auto`
+falls back to bsr/css).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Config
+from ..core.types import COOMatrix, cdiv, round_up
+from .base import device_put, pytree_dataclass
+
+LANES = 128
+PAD_LIMIT = 6.0        # max padded-slots / nnz before refusing
+MIN_SLOTS = 1 << 16    # small matrices are always allowed
+
+
+@pytree_dataclass(meta=("n_row", "n_col", "nnz", "rb_pad", "cb_pad", "s", "g",
+                        "k", "n_slots", "overflow_nnz", "balanced"))
+class BKTState:
+    n_row: int
+    n_col: int
+    nnz: int
+    rb_pad: int
+    cb_pad: int
+    s: int            # padded bucket depth (capped; dense buckets overflow)
+    g: int            # sublanes per rb slab = cb_pad·s / 128
+    k: int            # collision chain depth
+    n_slots: int
+    overflow_nnz: int
+    cb_ids: object    # (n_tiles,) int32 — col-block per stage-A tile
+    col: object       # (H, 128) int32 — stage-A stream columns
+    val: object       # (H, 128) values
+    heads: object     # (RB_pad·G, 128) int32 — stage-B run heads
+    idx: object       # (K·RB_pad·G, 128) int32 — static bin gathers, <0 masked
+    lo_a: object      # (H, 128) int32 — row % 128 per slot (to_coo only)
+    overflow: object  # BSRState — dense buckets' overflow (CSR5 fast-track
+                      # analog: the dense part rides the MXU)
+    balanced: bool = False
+    src_lane: object = None   # (128, RB_pad) int32 — balance-inverse routing
+    src_chunk: object = None
+
+
+def convert(coo: COOMatrix, cfg: Config) -> BKTState:
+    n_row, n_col, nnz = coo.n_row, coo.n_col, coo.nnz
+    import math
+
+    RB = cdiv(max(n_row, 1), LANES)
+    CB = cdiv(max(n_col, 1), LANES)
+    RB_pad = round_up(RB, 8)           # stage-B blocks of 8 slabs
+
+    rows = coo.row.astype(np.int64)
+    cols = coo.col.astype(np.int64)
+    rb = rows // LANES
+    cb = cols // LANES
+    lo = (rows % LANES).astype(np.int64)
+
+    # --- lane-preserving balance permutation: within each lo class, spread
+    # heavy rows across row-blocks so bucket depths even out (the bkt analog of
+    # CSR5's load balancing / the reference JDS row sort).  Inverted after
+    # stage B by a static Pallas lane shuffle (ops.pallas.bucket.lane_unpermute).
+    balanced = bool(cfg.bkt_balance) and RB_pad <= 2048 and nnz > 0
+    if balanced:
+        w = np.bincount(rows, minlength=RB_pad * LANES).reshape(RB_pad, LANES)
+        new_rb_of = np.empty((RB_pad, LANES), dtype=np.int64)
+        loads = np.zeros(RB_pad, dtype=np.int64)
+        for cls in range(LANES):          # greedy: heaviest → least-loaded rb
+            order_desc = np.argsort(-w[:, cls], kind="stable")
+            targets = np.argsort(loads, kind="stable")
+            new_rb_of[order_desc, cls] = targets
+            loads[targets] += w[order_desc, cls]
+        rb = new_rb_of[rb, lo]
+        # inverse routing: out[lo, rb_orig] reads y_tab[new_rb_of[rb_orig, lo], lo];
+        # padded to a 128-column multiple (identity on pad columns) for the kernel.
+        rbu = round_up(RB_pad, LANES)
+        src_col = np.broadcast_to(np.arange(rbu, dtype=np.int32),
+                                  (LANES, rbu)).copy()
+        src_col[:, :RB_pad] = new_rb_of.T
+        src_lane = device_put(src_col % LANES)
+        src_chunk = device_put(src_col // LANES)
+    else:
+        src_lane = device_put(np.zeros((LANES, LANES), np.int32))
+        src_chunk = device_put(np.zeros((LANES, LANES), np.int32))
+
+    bucket = cb * RB_pad + rb
+    counts = np.bincount(bucket, minlength=CB * RB_pad) if nnz else \
+        np.zeros(CB * RB_pad, dtype=np.int64)
+    # S: bucket depth, capped near the 90th percentile — dense buckets' excess
+    # routes to the BSR overflow (the dense part is exactly what BSR is good
+    # at, mirroring CSR5's fast/normal track split).  Alignment: stage-A tiles
+    # (1024 slots) never straddle a col-block; stage-B slabs fill 128 lanes.
+    nz_counts = counts[counts > 0]
+    s_need = int(counts.max(initial=1))
+    s_cap = int(np.percentile(nz_counts, cfg.bkt_cap_pct)) if nz_counts.size \
+        else 1
+    align = max(1, 1024 // math.gcd(RB_pad, 1024))
+    S = round_up(max(min(s_need, max(s_cap, 1)), 1), align)
+    CB_pad = round_up(CB, 128 // math.gcd(S, 128))
+    N = CB_pad * RB_pad * S
+    if N > max(PAD_LIMIT * max(nnz, 1), MIN_SLOTS):
+        raise ValueError(
+            f"bkt: padded grid {N} slots vs nnz {nnz} exceeds PAD_LIMIT — "
+            "matrix too hyper-sparse for dense bucketing; use bsr/css")
+
+    G = CB_pad * S // LANES
+    H = N // LANES
+
+    # ---- slot assignment: bucket-major, lo-sorted within bucket -------------
+    order = np.lexsort((cols, lo, bucket)) if nnz else np.zeros(0, np.int64)
+    b_sorted = bucket[order]
+    start = np.zeros(CB * RB_pad, dtype=np.int64)
+    np.cumsum(counts[:-1], out=start[1:])
+    seq = np.arange(nnz) - start[b_sorted]
+
+    # Entries beyond the per-bucket cap overflow into BSR.
+    over = seq >= S
+    from . import bsr as bsr_mod
+
+    over_coo = COOMatrix.from_triplets(
+        n_row, n_col, rows[order][over], cols[order][over],
+        coo.val[order][over], index_bits=cfg.index_bits, sort=True)
+    overflow_state = bsr_mod.convert(over_coo, cfg)
+
+    keep_s = ~over
+    order = order[keep_s]
+    b_sorted = b_sorted[keep_s]
+    seq = seq[keep_s]
+    nnz_in = int(order.shape[0])
+    slot = b_sorted * S + seq
+
+    slot_cb = np.arange(N) // (RB_pad * S)
+    col_a = (slot_cb * LANES).astype(np.int64)       # ghost: lane 0 of own block
+    val_a = np.zeros(N, dtype=cfg.np_dtype)
+    lo_slot = np.full(N, LANES - 1, dtype=np.int64)  # ghosts sort/merge at 127
+    real = np.zeros(N, dtype=bool)
+    col_a[slot] = cols[order]
+    val_a[slot] = coo.val[order].astype(cfg.np_dtype)
+    lo_slot[slot] = lo[order]
+    real[slot] = True
+
+    n_tiles = H // 8
+    cb_ids = ((np.arange(n_tiles) * 8 * LANES) // (RB_pad * S)).astype(np.int32)
+
+    # ---- stage-B layout -----------------------------------------------------
+    # slot -> (cb, rb, seq) -> B position (brow, lane)
+    s_cb = slot_cb
+    s_rem = np.arange(N) % (RB_pad * S)
+    s_rb = s_rem // S
+    s_seq = s_rem % S
+    q = s_cb * S + s_seq
+    j = q // LANES
+    lane = q % LANES
+    brow = (s_rb // 8) * (8 * G) + j * 8 + (s_rb % 8)
+
+    B_rows = RB_pad * G
+    lo_b = np.full((B_rows, LANES), LANES - 1, dtype=np.int64)
+    real_b = np.zeros((B_rows, LANES), dtype=bool)
+    bucket_start_b = np.zeros((B_rows, LANES), dtype=bool)
+    lo_b[brow, lane] = lo_slot
+    real_b[brow, lane] = real
+    bucket_start_b[brow, lane] = (s_seq == 0)
+
+    prev_lo = np.empty_like(lo_b)
+    prev_lo[:, 0] = -1
+    prev_lo[:, 1:] = lo_b[:, :-1]
+    heads_b = bucket_start_b | (lo_b != prev_lo)
+    heads_b[:, 0] = True
+
+    nxt_head = np.empty_like(heads_b)
+    nxt_head[:, -1] = True
+    nxt_head[:, :-1] = heads_b[:, 1:]
+    ends_b = nxt_head                                   # last element of each run
+
+    # runs: (brow, end_lane, bin); keep runs containing >= 1 real slot
+    run_id_flat = np.cumsum(heads_b.reshape(-1)) - 1
+    run_real = np.zeros(int(run_id_flat[-1]) + 1 if B_rows else 1, dtype=bool)
+    np.logical_or.at(run_real, run_id_flat, real_b.reshape(-1))
+    er, el = np.nonzero(ends_b)
+    run_ids = run_id_flat.reshape(B_rows, LANES)[er, el]
+    keep = run_real[run_ids]
+    er, el = er[keep], el[keep]
+    bins = lo_b[er, el]
+
+    # collision chain: k-th run of (brow, bin)
+    okey = er * LANES + bins
+    oorder = np.lexsort((el, okey))
+    er_s, el_s, bins_s, okey_s = er[oorder], el[oorder], bins[oorder], okey[oorder]
+    is_first = np.empty(len(okey_s), dtype=bool)
+    if len(okey_s):
+        is_first[0] = True
+        is_first[1:] = okey_s[1:] != okey_s[:-1]
+    grp = np.cumsum(is_first) - 1
+    first_pos = np.nonzero(is_first)[0]
+    chain = np.arange(len(okey_s)) - first_pos[grp] if len(okey_s) else \
+        np.zeros(0, np.int64)
+    K = int(chain.max(initial=0)) + 1
+
+    blk = 8 * G
+    n_blocks = RB_pad // 8
+    idx_full = np.full((n_blocks * K * blk, LANES), -1, dtype=np.int32)
+    blk_i = er_s // blk
+    row_in_blk = er_s % blk
+    idx_full[(blk_i * K + chain) * blk + row_in_blk, bins_s] = el_s
+
+    return BKTState(
+        n_row=n_row, n_col=n_col, nnz=nnz, rb_pad=RB_pad, cb_pad=CB_pad,
+        s=S, g=G, k=K, n_slots=N, overflow_nnz=over_coo.nnz,
+        cb_ids=device_put(cb_ids),
+        col=device_put(col_a.reshape(H, LANES).astype(cfg.index_dtype)),
+        val=device_put(val_a.reshape(H, LANES)),
+        heads=device_put(heads_b.astype(np.int32)),
+        idx=device_put(idx_full),
+        lo_a=device_put(lo_slot.reshape(H, LANES).astype(np.int32)),
+        overflow=overflow_state,
+        balanced=balanced, src_lane=src_lane, src_chunk=src_chunk,
+    )
+
+
+def spmv(state: BKTState, x):
+    import jax.numpy as jnp
+
+    from ..ops.pallas.bucket import block_gather_mul, bucket_reduce
+
+    RB_pad, CB_pad, S, G = state.rb_pad, state.cb_pad, state.s, state.g
+    xp = jnp.zeros((CB_pad * LANES,), x.dtype).at[: state.n_col].set(x)
+    prod = block_gather_mul(state.cb_ids, state.col, state.val,
+                            xp.reshape(CB_pad, LANES))
+    # cb-major -> rb-major with 8-slab j-interleave (pure relayout, no gather).
+    p = prod.reshape(CB_pad, RB_pad, S).transpose(1, 0, 2)
+    p = p.reshape(RB_pad // 8, 8, G, LANES).transpose(0, 2, 1, 3)
+    p = p.reshape(RB_pad * G, LANES)
+    y_tab = bucket_reduce(p, state.heads, state.idx, RB_pad)
+    if state.balanced:
+        from ..ops.pallas.bucket import lane_unpermute
+
+        rbu = state.src_lane.shape[1]
+        y_t = jnp.zeros((LANES, rbu), y_tab.dtype).at[:, :RB_pad].set(y_tab.T)
+        y_tab = lane_unpermute(y_t, state.src_lane, state.src_chunk)[:, :RB_pad].T
+    y = y_tab.reshape(-1)[: state.n_row]
+    if state.overflow_nnz:
+        from . import bsr as bsr_mod
+
+        y = y + bsr_mod.spmv(state.overflow, x)
+    return y
+
+
+def report_fields(state: BKTState, cfg: Config) -> dict:
+    return {"RB": state.rb_pad, "CB": state.cb_pad, "SlotDepth": state.s,
+            "ChainK": state.k, "OverflowNnz": state.overflow_nnz,
+            "PadFactor": round(state.n_slots / max(state.nnz, 1), 3)}
+
+
+def traffic_bytes(state: BKTState, cfg: Config) -> int:
+    from . import bsr as bsr_mod
+
+    vsz = np.dtype(cfg.dtype).itemsize
+    slots = state.n_slots
+    stage_a = slots * (4 + 2 * vsz)                    # col + val + out
+    stage_b = slots * (vsz + 4) + state.k * slots * 4  # prod + heads + idx
+    over = bsr_mod.traffic_bytes(state.overflow, cfg) if state.overflow_nnz else 0
+    return stage_a + stage_b + state.n_row * vsz + over
+
+
+def to_coo(state: BKTState) -> COOMatrix:
+    """Inverse conversion (explicit zeros dropped — they pad like ghosts)."""
+    val = np.asarray(state.val).reshape(-1)
+    col = np.asarray(state.col).reshape(-1)
+    lo = np.asarray(state.lo_a).reshape(-1)
+    N = state.n_slots
+    s_rb = (np.arange(N) % (state.rb_pad * state.s)) // state.s
+    if state.balanced:
+        # invert the balance permutation: new_rb -> original rb, per lo class
+        src_col = (np.asarray(state.src_chunk).astype(np.int64) * LANES
+                   + np.asarray(state.src_lane))        # (128, RB_pad): orig->new
+        inv = np.argsort(src_col, axis=1, kind="stable")  # (128, RB_pad): new->orig
+        s_rb = inv[lo, s_rb]
+    rows = s_rb * LANES + lo
+    keep = val != 0
+    rows, col, val = rows[keep], col[keep], val[keep]
+    if state.overflow_nnz:
+        from . import bsr as bsr_mod
+
+        oc = bsr_mod.to_coo(state.overflow)
+        rows = np.concatenate([rows, oc.row.astype(rows.dtype)])
+        col = np.concatenate([col, oc.col.astype(col.dtype)])
+        val = np.concatenate([val, oc.val])
+    return COOMatrix.from_triplets(state.n_row, state.n_col, rows, col, val,
+                                   sort=True, sum_duplicates=True)

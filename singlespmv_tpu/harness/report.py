@@ -19,7 +19,7 @@ CLOSE = "-" * 40
 FORMAT_NAMES = {
     "csr": "CRS", "crs": "CRS", "coo": "COO", "ell": "ELL", "jds": "JDS",
     "dia": "DIA", "ss": "SS", "css": "CSS", "csr5": "CSR5", "dense": "DENSE",
-    "bcoo": "BCOO",
+    "bcoo": "BCOO", "bsr": "BSR", "auto": "AUTO",
 }
 
 

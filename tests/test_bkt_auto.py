@@ -1,0 +1,110 @@
+"""Tests for the bkt two-phase bucketed format and the auto planner."""
+import numpy as np
+import pytest
+
+from singlespmv_tpu import formats
+from singlespmv_tpu.config import Config
+from singlespmv_tpu.core.oracle import verify_result
+from singlespmv_tpu.core.rng import create_random_vector
+from singlespmv_tpu.core.types import COOMatrix
+from singlespmv_tpu.data.fixtures import fixture_10x10
+from singlespmv_tpu.data.generators import generate, powerlaw
+
+F64 = Config(dtype="float64")
+
+
+def _rect(seed=7):
+    rng = np.random.default_rng(seed)
+    return COOMatrix.from_triplets(
+        90, 300, rng.integers(0, 90, 2000), rng.integers(0, 300, 2000),
+        rng.uniform(-1, 1, 2000), sum_duplicates=True)
+
+
+BKT_CASES = [
+    ("10x10", fixture_10x10),
+    ("band", lambda: generate("band", 200, 6, seed=1)),
+    ("powerlaw", lambda: powerlaw(300, 4000, seed=3)),
+    ("powerlaw-skew", lambda: powerlaw(2000, 60000, seed=5)),
+    ("unbal", lambda: generate("unbalance", 150, seed=4)),
+    ("rect", _rect),
+]
+
+
+class TestBKT:
+    @pytest.mark.parametrize("name,make", BKT_CASES,
+                             ids=[c[0] for c in BKT_CASES])
+    def test_spmv_and_roundtrip(self, name, make):
+        coo = make()
+        cfg = F64.replace(format="bkt")
+        st = formats.convert(coo, cfg)
+        x = create_random_vector(coo.n_col)
+        import jax
+
+        y = np.asarray(jax.jit(formats.spmv_fn(cfg))(st, x))
+        ok, det = verify_result(coo, x, y, dtype=np.float64)
+        assert ok, det
+        back = formats.to_coo(st, cfg)
+        np.testing.assert_allclose(back.to_dense(), coo.to_dense())
+
+    def test_overflow_engages_on_skew(self):
+        # Without the balance permutation, skewed buckets overflow into BSR.
+        coo = powerlaw(2000, 60000, seed=5)
+        cfg = F64.replace(format="bkt", bkt_balance=False)
+        st = formats.convert(coo, cfg)
+        assert st.overflow_nnz > 0                  # dense buckets went to BSR
+        assert st.n_slots <= 6.0 * coo.nnz + (1 << 16)
+        # verify the overflow path end-to-end
+        import jax
+
+        x = create_random_vector(coo.n_col)
+        y = np.asarray(jax.jit(formats.spmv_fn(cfg))(st, x))
+        ok, det = verify_result(coo, x, y, dtype=np.float64)
+        assert ok, det
+
+    def test_balance_reduces_overflow(self):
+        coo = powerlaw(2000, 60000, seed=5)
+        st_bal = formats.convert(coo, F64.replace(format="bkt"))
+        st_raw = formats.convert(
+            coo, F64.replace(format="bkt", bkt_balance=False))
+        assert st_bal.overflow_nnz < st_raw.overflow_nnz
+        assert st_bal.balanced
+
+    def test_hyper_sparse_refused(self):
+        rng = np.random.default_rng(0)
+        n = 1 << 15
+        coo = COOMatrix.from_triplets(
+            n, n, rng.integers(0, n, 3000), rng.integers(0, n, 3000),
+            rng.uniform(size=3000), sum_duplicates=True)
+        with pytest.raises(ValueError, match="PAD_LIMIT"):
+            formats.convert(coo, F64.replace(format="bkt"))
+
+
+class TestAuto:
+    @pytest.mark.parametrize("name,make,expect", [
+        ("band", lambda: generate("band", 2048, 16, seed=1), {"dia"}),
+        ("dense", lambda: generate("dense", 256, seed=2), {"dense", "bsr"}),
+        ("powerlaw", lambda: powerlaw(4096, 4096 * 24, seed=3),
+         {"bkt", "bsr", "dense"}),
+    ], ids=["band", "dense", "powerlaw"])
+    def test_choice_and_correctness(self, name, make, expect):
+        import jax
+
+        coo = make()
+        cfg = F64.replace(format="auto")
+        st = formats.convert(coo, cfg)
+        assert st.chosen in expect, st.chosen
+        x = create_random_vector(coo.n_col)
+        y = np.asarray(jax.jit(formats.spmv_fn(cfg))(st, x))
+        ok, det = verify_result(coo, x, y, dtype=np.float64)
+        assert ok, det
+        fields = formats.report_fields(st, cfg)
+        assert fields["ChosenFormat"] == st.chosen.upper()
+
+    def test_through_benchmark_driver(self):
+        from singlespmv_tpu.harness.driver import run_benchmark
+
+        res = run_benchmark(powerlaw(512, 8000, seed=6),
+                            F64.replace(format="auto"), quick=True,
+                            log=lambda m: None)
+        assert res.verify_ok
+        assert "ChosenFormat" in res.report
