@@ -54,7 +54,8 @@ def cmd_bench(args) -> int:
     from .harness.driver import run_benchmark
 
     cfg = _config_from(args)
-    res = run_benchmark(args.matrix, cfg, quick=args.quick)
+    res = run_benchmark(args.matrix, cfg, quick=args.quick,
+                        trace_dir=args.trace)
     print(res.block)
     if args.jsonl:
         from .harness.report import to_jsonl
@@ -200,6 +201,7 @@ def main(argv=None) -> int:
     p.add_argument("matrix")
     _add_config_args(p)
     p.add_argument("--jsonl", help="append result to JSONL file")
+    p.add_argument("--trace", help="write a jax.profiler trace to this dir")
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("formats", help="list available formats")

@@ -1,10 +1,15 @@
 """Native (C++) runtime components, bound via ctypes.
 
-The reference's runtime is all C++; here the JAX/XLA/Pallas side owns compute while
-I/O-heavy host paths run native: the Matrix-Market parser (mmio_native.cpp — the
-analog of /root/reference/src/util.cpp:30-66 and the vendored mmio.c).  The shared
-library is compiled on demand with g++ and cached next to the sources; every entry
-point has a pure-Python fallback, so the package works without a toolchain.
+The reference's runtime is all C++; here the JAX/XLA/Pallas side owns compute
+while I/O-heavy host paths run native:
+
+- ``mmio_native.cpp`` — Matrix-Market parser (the analog of
+  /root/reference/src/util.cpp:30-66 and the vendored mmio.c);
+- ``logfmt_native.cpp`` — report-block → TSV formatter (log/format.cpp).
+
+Shared libraries compile on demand with g++ and cache next to the sources;
+every entry point has a pure-Python fallback, so the package works without a
+toolchain.
 """
 from __future__ import annotations
 
@@ -17,12 +22,47 @@ from typing import Optional
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "mmio_native.cpp")
-_LIB = os.path.join(_DIR, "_mmio.so")
 _lock = threading.Lock()
-_lib = None
-_build_failed = False
+_libs = {}
+_failed = set()
 
+
+def _build(src: str, out: str) -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o",
+           out + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(out + ".tmp", out)
+        return True
+    except Exception:
+        return False
+
+
+def _get_lib(name: str, src_name: str) -> Optional[ctypes.CDLL]:
+    src = os.path.join(_DIR, src_name)
+    lib_path = os.path.join(_DIR, name)
+    with _lock:
+        if name in _libs:
+            return _libs[name]
+        if name in _failed:
+            return None
+        if not os.path.exists(lib_path) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(lib_path)
+        ):
+            if not _build(src, lib_path):
+                _failed.add(name)
+                return None
+        try:
+            lib = ctypes.CDLL(lib_path)
+        except OSError:
+            _failed.add(name)
+            return None
+        _libs[name] = lib
+        return lib
+
+
+# ------------------------------------------------------------------ mmio ----
 
 class _MtxResult(ctypes.Structure):
     _fields_ = [
@@ -36,42 +76,15 @@ class _MtxResult(ctypes.Structure):
     ]
 
 
-def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o",
-           _LIB + ".tmp"]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(_LIB + ".tmp", _LIB)
-        return True
-    except Exception:
-        return False
-
-
 def get_lib() -> Optional[ctypes.CDLL]:
-    global _lib, _build_failed
-    with _lock:
-        if _lib is not None:
-            return _lib
-        if _build_failed:
-            return None
-        if not os.path.exists(_LIB) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-        ):
-            if not _build():
-                _build_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB)
-        except OSError:
-            _build_failed = True
-            return None
+    lib = _get_lib("_mmio.so", "mmio_native.cpp")
+    if lib is not None and not hasattr(lib, "_configured"):
         lib.spmv_load_mtx.restype = ctypes.POINTER(_MtxResult)
         lib.spmv_load_mtx.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.spmv_free_result.restype = None
         lib.spmv_free_result.argtypes = [ctypes.POINTER(_MtxResult)]
-        _lib = lib
-        return _lib
+        lib._configured = True
+    return lib
 
 
 def load_mtx(path: str, *, index_bits: int = 32, sum_duplicates: bool = False):
@@ -109,3 +122,31 @@ def load_mtx(path: str, *, index_bits: int = 32, sum_duplicates: bool = False):
 
 def available() -> bool:
     return get_lib() is not None
+
+
+# ---------------------------------------------------------------- logfmt ----
+
+def get_logfmt_lib() -> Optional[ctypes.CDLL]:
+    lib = _get_lib("_logfmt.so", "logfmt_native.cpp")
+    if lib is not None and not hasattr(lib, "_configured"):
+        lib.spmv_format_logs.restype = ctypes.c_void_p
+        lib.spmv_format_logs.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.spmv_free_text.restype = None
+        lib.spmv_free_text.argtypes = [ctypes.c_void_p]
+        lib._configured = True
+    return lib
+
+
+def format_logs(text: str, extra_keys=None) -> Optional[str]:
+    """Native block→TSV formatter; None if the library is unavailable."""
+    lib = get_logfmt_lib()
+    if lib is None:
+        return None
+    extra = "\n".join(extra_keys or [])
+    ptr = lib.spmv_format_logs(text.encode(), extra.encode())
+    if not ptr:
+        return None
+    try:
+        return ctypes.string_at(ptr).decode()
+    finally:
+        lib.spmv_free_text(ptr)

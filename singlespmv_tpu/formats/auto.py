@@ -70,7 +70,9 @@ def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
                     + runs / SCATTER_RATE                 # run combine scatter
                     + nnz * (vsz + 4) / HBM_BPS)          # stream traffic
     # bkt: two-phase scatter-free bucketing (20 B/slot streamed + lane gather).
-    if coo.nnz:
+    from ..ops import pallas as pallas_pkg
+
+    if coo.nnz and pallas_pkg.supports(cfg.np_dtype):
         from ..core.types import cdiv
 
         rb_pad = max(8, -(-n // 128))

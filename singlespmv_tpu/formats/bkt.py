@@ -230,6 +230,12 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
 def spmv(state: BKTState, x):
     import jax.numpy as jnp
 
+    from ..ops import pallas as pallas_pkg
+
+    if not pallas_pkg.supports(x.dtype):
+        raise TypeError(
+            "bkt runs Pallas kernels: use float32/bfloat16 on TPU (f64 is "
+            "Mosaic-unsupported; pick csr/ss for an f64 XLA path)")
     from ..ops.pallas.bucket import block_gather_mul, bucket_reduce
 
     RB_pad, CB_pad, S, G = state.rb_pad, state.cb_pad, state.s, state.g

@@ -148,7 +148,10 @@ def spmv(state: CSR5State, x):
     )[: state.n_row]
     # Normal track: segmented scan + run-end extraction + calibration-combine.
     prod = state.val * x[state.col]
-    if state.variant == "optimized" and state.n_normal:
+    from ..ops import pallas as pallas_pkg
+
+    if (state.variant == "optimized" and state.n_normal
+            and pallas_pkg.supports(prod.dtype)):
         from ..ops.pallas.segscan import segmented_scan_tiles
 
         scanned = segmented_scan_tiles(prod, state.heads)

@@ -102,7 +102,9 @@ def convert(coo: COOMatrix, cfg: Config) -> CSSState:
 def spmv(state: CSSState, x):
     import jax.numpy as jnp
 
-    if state.variant == "optimized":
+    from ..ops import pallas as pallas_pkg
+
+    if state.variant == "optimized" and pallas_pkg.supports(x.dtype):
         from ..ops.pallas.blockgather import block_gather_scan
 
         xp = jnp.zeros((state.n_xrow * LANES,), x.dtype)

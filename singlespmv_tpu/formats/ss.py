@@ -125,7 +125,9 @@ def mul(state: SSState, x):
 
 
 def scan(state: SSState, products):
-    if state.variant == "optimized":
+    from ..ops import pallas as pallas_pkg
+
+    if state.variant == "optimized" and pallas_pkg.supports(products.dtype):
         from ..ops.pallas.segscan import segmented_scan_tiles
 
         return segmented_scan_tiles(products, state.heads)

@@ -96,6 +96,8 @@ def run_benchmark(
     x: Optional[np.ndarray] = None,
     name: Optional[str] = None,
     quick: bool = False,         # skip calibration (tests): 1 trial × 3 iterations
+    trace_dir: Optional[str] = None,   # jax.profiler trace (VTune-ITT analog,
+                                       # reference main.cpp:10-12 commented hooks)
     log=lambda msg: print(msg, file=sys.stderr),
 ) -> BenchResult:
     import jax
@@ -150,11 +152,16 @@ def run_benchmark(
             loop *= 2
 
     # --- best-of-N timed trials (main.cpp:80-102), loop chained on device ---
+    import contextlib
+
+    tracer = (jax.profiler.trace(trace_dir) if trace_dir
+              else contextlib.nullcontext())
     best = float("inf")
-    for _ in range(n_trials):
-        t0 = now()
-        jax.block_until_ready(run_n(state, xd, loop))
-        best = min(best, (now() - t0) / loop)
+    with tracer:
+        for _ in range(n_trials):
+            t0 = now()
+            jax.block_until_ready(run_n(state, xd, loop))
+            best = min(best, (now() - t0) / loop)
     # Subtract the one-call dispatch floor measured with n=0 (pure RPC latency).
     t0 = now()
     jax.block_until_ready(run_n(state, xd, 0))

@@ -16,8 +16,18 @@ DEFAULT_KEYS = ["Matrix", "Architecture", "MatrixFormat",
                 "Performance(GFLOPS)", "nRow", "nCol", "nNnz"]
 
 
-def format_logs(text: str, extra_keys: Optional[Iterable[str]] = None) -> str:
+def format_logs(text: str, extra_keys: Optional[Iterable[str]] = None,
+                use_native: bool = True) -> str:
     """Parse report blocks and emit a TSV table sorted by nNnz ascending."""
+    if use_native:
+        try:
+            from ..core import native
+
+            out = native.format_logs(text, list(extra_keys or []))
+            if out is not None:
+                return out
+        except Exception:
+            pass  # fall back to the Python formatter
     keys = DEFAULT_KEYS + [k for k in (extra_keys or []) if k not in DEFAULT_KEYS]
     blocks = parse_blocks(text)
 

@@ -68,6 +68,9 @@ def default_todo() -> str:
     rows.append("dia,dia,optimized,,,")
     rows.append("dense,dense,optimized,,,")
     rows.append("bcoo,bcoo,optimized,,,")
+    rows.append("bsr,bsr,optimized,,,")
+    rows.append("bkt,bkt,optimized,,,")
+    rows.append("auto,auto,optimized,,,")
     for w in (256, 512, 1024, 2048, 4096, 8192, 16384):
         rows.append(f"ss-simple-{w},ss,simple,{w},,")
         rows.append(f"ss-opt-{w},ss,optimized,{w},,")
