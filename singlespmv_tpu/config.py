@@ -51,6 +51,10 @@ class Config:
 
     @property
     def np_dtype(self):
+        if self.dtype == "bfloat16":
+            import ml_dtypes
+
+            return np.dtype(ml_dtypes.bfloat16)
         return np.dtype(self.dtype)
 
     @property

@@ -28,12 +28,13 @@ def reference_spmv(coo: COOMatrix, x: np.ndarray) -> np.ndarray:
 
 
 def tolerance_for(coo: COOMatrix, dtype) -> float:
-    dtype = np.dtype(dtype)
-    if dtype == np.float64:
+    name = getattr(dtype, "name", None) or str(dtype)
+    if "float64" in name:
         return DEFAULT_TOL
-    # f32 path: worst-case accumulation error grows with the longest row.
+    # Reduced precision: worst-case accumulation error grows with the longest
+    # row; bf16 has an 8-bit mantissa (eps = 2^-8).
     max_row = int(coo.row_lengths().max(initial=1))
-    eps = float(np.finfo(np.float32).eps)
+    eps = 2.0 ** -8 if "bfloat16" in name else float(np.finfo(np.float32).eps)
     return max(DEFAULT_TOL, 16.0 * eps * max(1.0, np.sqrt(max_row)))
 
 

@@ -64,28 +64,22 @@ def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
     if dense_elems * vsz <= (1 << 30):
         costs["dense"] = dense_elems * vsz / HBM_BPS
     bm, bn = max(8, cfg.row_block), cfg.lane_width
-    costs["bsr"] = (blocks * bm * bn * vsz / HBM_BPS
-                    + blocks * bm / SCATTER_RATE * 0.02)  # sorted segsum, mild
+    # ~10 ns/block fixed overhead calibrated on TPU v5e (x-row gather + sorted
+    # block-row segment-sum; measured: 140k blocks → 2.3 ms, 313k → 6 ms).
+    costs["bsr"] = (blocks * bm * bn * vsz / HBM_BPS + blocks * 1e-8)
     costs["css"] = (1.1 * nnz / LANE_GATHER_RATE          # fused mul+scan
                     + runs / SCATTER_RATE                 # run combine scatter
                     + nnz * (vsz + 4) / HBM_BPS)          # stream traffic
-    # bkt: two-phase scatter-free bucketing (20 B/slot streamed + lane gather).
+    # bkt: two-phase scatter-free bucketing (streamed slots + lane gather).
     from ..ops import pallas as pallas_pkg
 
     if coo.nnz and pallas_pkg.supports(cfg.np_dtype):
-        from ..core.types import cdiv
-
-        rb_pad = max(8, -(-n // 128))
-        bcounts = np.bincount((coo.col.astype(np.int64) // 128) * rb_pad
-                              + coo.row.astype(np.int64) // 128)
-        nzc = bcounts[bcounts > 0]
-        s_cap = max(16, int(np.percentile(nzc, 90)))
-        cb = cdiv(max(m, 1), 128)
-        slots = cb * rb_pad * min(int(nzc.max()), s_cap)
-        over = int(np.maximum(nzc - s_cap, 0).sum())
-        if slots <= bkt_mod.PAD_LIMIT * nnz or slots <= bkt_mod.MIN_SLOTS:
-            # Overflow rides BSR on dense buckets: ~3 streamed values per entry.
-            costs["bkt"] = (slots * 20 / HBM_BPS
+        est = bkt_mod.estimate(coo, cfg)
+        if est["feasible"]:
+            slots, over, k_est = est["slots"], est["overflow"], est["k_est"]
+            # Overflow rides BSR on dense buckets: ~3 streamed values/entry;
+            # K collision-chain passes stream K·4 B/slot of static indices.
+            costs["bkt"] = (slots * (16 + 4 * k_est) / HBM_BPS
                             + slots / LANE_GATHER_RATE / 2
                             + 3 * over * vsz / HBM_BPS)
     return costs
@@ -130,8 +124,14 @@ jax.tree_util.register_pytree_node(
 
 
 def convert(coo: COOMatrix, cfg: Config) -> AutoState:
-    chosen = choose(coo, cfg)
-    return AutoState(chosen, _MODULES[chosen].convert(coo, cfg))
+    costs = estimate_costs(coo, cfg)
+    last_err = None
+    for chosen in sorted(costs, key=costs.get):
+        try:
+            return AutoState(chosen, _MODULES[chosen].convert(coo, cfg))
+        except (ValueError, TypeError) as e:   # guard refused — next candidate
+            last_err = e
+    raise last_err if last_err else ValueError("auto: no viable format")
 
 
 def spmv(state: AutoState, x):

@@ -22,8 +22,46 @@ from ..core.types import COOMatrix, cdiv, round_up
 from .base import device_put, pytree_dataclass
 
 LANES = 128
-PAD_LIMIT = 6.0        # max padded-slots / nnz before refusing
+PAD_LIMIT = 16.0       # max padded-slots / nnz before refusing — generous:
+                       # pad slots stream at HBM speed, so even 10x-padded bkt
+                       # beats scatter-bound alternatives on hyper-sparse inputs
 MIN_SLOTS = 1 << 16    # small matrices are always allowed
+
+
+def estimate(coo: COOMatrix, cfg: Config) -> dict:
+    """Cheap convert-free plan: slots / S / overflow — used by formats.auto.
+
+    Mirrors convert()'s planning math exactly (same counts, cap, alignment
+    candidates) so auto never picks a bkt that convert would then refuse.
+    """
+    import math
+
+    RB = cdiv(max(coo.n_row, 1), LANES)
+    CB = cdiv(max(coo.n_col, 1), LANES)
+    if coo.nnz:
+        counts0 = np.bincount((coo.col.astype(np.int64) // LANES) * RB
+                              + coo.row.astype(np.int64) // LANES,
+                              minlength=CB * RB)
+    else:
+        counts0 = np.zeros(1, dtype=np.int64)
+    nz = counts0[counts0 > 0]
+    s_need = int(counts0.max(initial=1))
+    s_cap = int(np.percentile(nz, cfg.bkt_cap_pct)) if nz.size else 1
+    s_base = max(min(s_need, max(s_cap, 1)), 1)
+
+    def plan(rb_mult):
+        rbp = round_up(RB, rb_mult)
+        align = max(1, 1024 // math.gcd(rbp, 1024))
+        s = round_up(s_base, align)
+        cbp = round_up(CB, 128 // math.gcd(s, 128))
+        return cbp * rbp * s, rbp, s, cbp
+
+    n, rb_pad, s, cb_pad = min(plan(m) for m in (8, 64, 128, 256, 1024))
+    over = int(np.maximum(nz - s, 0).sum()) if nz.size else 0
+    k_est = max(1, min(16, 128 // max(1, s)))
+    feasible = n <= max(PAD_LIMIT * max(coo.nnz, 1), MIN_SLOTS)
+    return {"slots": n, "s": s, "rb_pad": rb_pad, "cb_pad": cb_pad,
+            "overflow": over, "k_est": k_est, "feasible": feasible}
 
 
 @pytree_dataclass(meta=("n_row", "n_col", "nnz", "rb_pad", "cb_pad", "s", "g",
@@ -58,7 +96,6 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
 
     RB = cdiv(max(n_row, 1), LANES)
     CB = cdiv(max(n_col, 1), LANES)
-    RB_pad = round_up(RB, 8)           # stage-B blocks of 8 slabs
 
     rows = coo.row.astype(np.int64)
     cols = coo.col.astype(np.int64)
@@ -70,44 +107,41 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
     # heavy rows across row-blocks so bucket depths even out (the bkt analog of
     # CSR5's load balancing / the reference JDS row sort).  Inverted after
     # stage B by a static Pallas lane shuffle (ops.pallas.bucket.lane_unpermute).
-    balanced = bool(cfg.bkt_balance) and RB_pad <= 2048 and nnz > 0
+    balanced = bool(cfg.bkt_balance) and RB <= 2048 and nnz > 0
+    new_rb_of = None
     if balanced:
-        w = np.bincount(rows, minlength=RB_pad * LANES).reshape(RB_pad, LANES)
-        new_rb_of = np.empty((RB_pad, LANES), dtype=np.int64)
-        loads = np.zeros(RB_pad, dtype=np.int64)
+        w = np.bincount(rows, minlength=RB * LANES).reshape(RB, LANES)
+        new_rb_of = np.empty((RB, LANES), dtype=np.int64)
+        loads = np.zeros(RB, dtype=np.int64)
         for cls in range(LANES):          # greedy: heaviest → least-loaded rb
             order_desc = np.argsort(-w[:, cls], kind="stable")
             targets = np.argsort(loads, kind="stable")
             new_rb_of[order_desc, cls] = targets
             loads[targets] += w[order_desc, cls]
         rb = new_rb_of[rb, lo]
-        # inverse routing: out[lo, rb_orig] reads y_tab[new_rb_of[rb_orig, lo], lo];
-        # padded to a 128-column multiple (identity on pad columns) for the kernel.
-        rbu = round_up(RB_pad, LANES)
-        src_col = np.broadcast_to(np.arange(rbu, dtype=np.int32),
-                                  (LANES, rbu)).copy()
-        src_col[:, :RB_pad] = new_rb_of.T
-        src_lane = device_put(src_col % LANES)
-        src_chunk = device_put(src_col // LANES)
-    else:
-        src_lane = device_put(np.zeros((LANES, LANES), np.int32))
-        src_chunk = device_put(np.zeros((LANES, LANES), np.int32))
 
-    bucket = cb * RB_pad + rb
-    counts = np.bincount(bucket, minlength=CB * RB_pad) if nnz else \
-        np.zeros(CB * RB_pad, dtype=np.int64)
     # S: bucket depth, capped near the 90th percentile — dense buckets' excess
     # routes to the BSR overflow (the dense part is exactly what BSR is good
-    # at, mirroring CSR5's fast/normal track split).  Alignment: stage-A tiles
-    # (1024 slots) never straddle a col-block; stage-B slabs fill 128 lanes.
-    nz_counts = counts[counts > 0]
-    s_need = int(counts.max(initial=1))
+    # at, mirroring CSR5's fast/normal track split).
+    counts0 = np.bincount(cb * RB + rb, minlength=CB * RB) if nnz else \
+        np.zeros(CB * RB, dtype=np.int64)
+    nz_counts = counts0[counts0 > 0]
+    s_need = int(counts0.max(initial=1))
     s_cap = int(np.percentile(nz_counts, cfg.bkt_cap_pct)) if nz_counts.size \
         else 1
-    align = max(1, 1024 // math.gcd(RB_pad, 1024))
-    S = round_up(max(min(s_need, max(s_cap, 1)), 1), align)
-    CB_pad = round_up(CB, 128 // math.gcd(S, 128))
-    N = CB_pad * RB_pad * S
+    s_base = max(min(s_need, max(s_cap, 1)), 1)
+
+    # RB_pad rounding trades ghost row-blocks against the S alignment forced by
+    # "stage-A tiles (1024 slots) single-col-block": S must be a multiple of
+    # 1024/gcd(RB_pad, 1024).  Pick the candidate minimizing total slots.
+    def plan(rb_mult):
+        rbp = round_up(RB, rb_mult)
+        align = max(1, 1024 // math.gcd(rbp, 1024))
+        s = round_up(s_base, align)
+        cbp = round_up(CB, 128 // math.gcd(s, 128))
+        return cbp * rbp * s, rbp, s, cbp
+
+    N, RB_pad, S, CB_pad = min(plan(m) for m in (8, 64, 128, 256, 1024))
     if N > max(PAD_LIMIT * max(nnz, 1), MIN_SLOTS):
         raise ValueError(
             f"bkt: padded grid {N} slots vs nnz {nnz} exceeds PAD_LIMIT — "
@@ -116,7 +150,23 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
     G = CB_pad * S // LANES
     H = N // LANES
 
+    # Inverse routing for the balance permutation, sized to the final RB_pad:
+    # out[lo, rb_orig] reads y_tab[new_rb_of[rb_orig, lo], lo]; identity on pads.
+    if balanced:
+        rbu = round_up(RB_pad, LANES)
+        src_col = np.broadcast_to(np.arange(rbu, dtype=np.int32),
+                                  (LANES, rbu)).copy()
+        src_col[:, :RB] = new_rb_of.T
+        src_lane = device_put(src_col % LANES)
+        src_chunk = device_put(src_col // LANES)
+    else:
+        src_lane = device_put(np.zeros((LANES, LANES), np.int32))
+        src_chunk = device_put(np.zeros((LANES, LANES), np.int32))
+
     # ---- slot assignment: bucket-major, lo-sorted within bucket -------------
+    bucket = cb * RB_pad + rb
+    counts = np.bincount(bucket, minlength=CB * RB_pad) if nnz else \
+        np.zeros(CB * RB_pad, dtype=np.int64)
     order = np.lexsort((cols, lo, bucket)) if nnz else np.zeros(0, np.int64)
     b_sorted = bucket[order]
     start = np.zeros(CB * RB_pad, dtype=np.int64)

@@ -68,7 +68,13 @@ class CSR5State:
     rank_rows: object
 
 
+_LAST_CONVERT_MS = {}   # id(state) -> (malloc, tile_ptr, tile_desc, upload) ms
+
+
 def convert(coo: COOMatrix, cfg: Config) -> CSR5State:
+    from ..core.timing import now
+
+    t0 = now()
     omega = cfg.omega
     sigma = cfg.sigma if cfg.sigma > 0 else auto_sigma(coo.n_row, coo.nnz)
     w = omega * sigma
@@ -83,6 +89,7 @@ def convert(coo: COOMatrix, cfg: Config) -> CSR5State:
     col_s[: coo.nnz] = coo.col
     val_s[: coo.nnz] = coo.val.astype(cfg.np_dtype)
     row2d = row_s.reshape(n_tile, w)
+    t_alloc = now()
 
     # Fast track: tile entirely within one (real) row.
     single = (row2d == row2d[:, :1]).all(axis=1) & (row2d[:, 0] < coo.n_row)
@@ -94,6 +101,7 @@ def convert(coo: COOMatrix, cfg: Config) -> CSR5State:
 
     col2d = col_s.reshape(n_tile, w)
     val2d = val_s.reshape(n_tile, w)
+    t_ptr = now()
 
     # Normal track metadata (heads / run ends / run rows), like formats.ss.
     nrow2d = row2d[ni]
@@ -124,8 +132,9 @@ def convert(coo: COOMatrix, cfg: Config) -> CSR5State:
         rank_rows = np.zeros((0, r_max), dtype=idx)
 
     fast_rows = np.minimum(row2d[fi, 0], coo.n_row).astype(idx)
+    t_desc = now()
 
-    return CSR5State(
+    state = CSR5State(
         n_row=coo.n_row, n_col=coo.n_col, nnz=coo.nnz, omega=omega, sigma=sigma,
         w=w, n_tile=n_tile, n_fast=int(fi.shape[0]), n_normal=n_normal,
         r_max=r_max, variant=cfg.variant,
@@ -135,6 +144,15 @@ def convert(coo: COOMatrix, cfg: Config) -> CSR5State:
         heads=device_put(heads), end_pos=device_put(end_pos),
         rank_rows=device_put(rank_rows),
     )
+    import jax
+
+    jax.block_until_ready(state)
+    # asCSR5 phase breakdown (anonymouslib_avx2.h:207-210).  Kept OUTSIDE the
+    # pytree (timings as static metadata would defeat the jit cache).
+    _LAST_CONVERT_MS[id(state)] = (
+        round((t_alloc - t0) * 1e3, 3), round((t_ptr - t_alloc) * 1e3, 3),
+        round((t_desc - t_ptr) * 1e3, 3), round((now() - t_desc) * 1e3, 3))
+    return state
 
 
 def spmv(state: CSR5State, x):
@@ -163,11 +181,16 @@ def spmv(state: CSR5State, x):
 
 
 def report_fields(state: CSR5State, cfg: Config) -> dict:
-    return {
+    out = {
         "Omega": state.omega, "Sigma": state.sigma, "nTile": state.n_tile,
         "nFastTile": state.n_fast, "nNormalTile": state.n_normal,
         "R_max": state.r_max,
     }
+    ms = _LAST_CONVERT_MS.get(id(state))
+    if ms:
+        for name, v in zip(("malloc", "tile_ptr", "tile_desc", "transpose"), ms):
+            out[f"Convert-{name}(ms)"] = v
+    return out
 
 
 def traffic_bytes(state: CSR5State, cfg: Config) -> int:

@@ -227,3 +227,17 @@ class DistSpMV:
         x = jnp.asarray(np.asarray(x, dtype=self.cfg.np_dtype))
         return self._jitted(self.col, self.val, self.heads, self.end_pos,
                             self.rank_rows, self.perm, x)
+
+    def spmm(self, X):
+        """Distributed Y = A @ X for a (n_col, B) panel — the north-star's
+        "row/block-partitioned SpMV + SpMM across a pod slice" op.  Columns are
+        batched over the same sharded kernel (vmap over shard_map)."""
+        import jax
+        import jax.numpy as jnp
+
+        X = jnp.asarray(np.asarray(X, dtype=self.cfg.np_dtype))
+        run_cols = jax.vmap(self._jitted,
+                            in_axes=(None, None, None, None, None, None, 1),
+                            out_axes=1)
+        return run_cols(self.col, self.val, self.heads, self.end_pos,
+                        self.rank_rows, self.perm, X)

@@ -150,3 +150,24 @@ def test_matrix_stats():
 def test_duplicate_positions_kept():
     m = generate("random_unbalance", 16, seed=5)
     assert m.nnz == 16 * 16  # duplicates kept, like the reference generator
+
+
+def test_bfloat16_pipeline():
+    """bf16 device dtype with a row-length-aware tolerance (TPU-native dtype)."""
+    import jax
+
+    from singlespmv_tpu import formats
+    from singlespmv_tpu.config import Config
+    from singlespmv_tpu.core.oracle import tolerance_for, verify_result
+    from singlespmv_tpu.core.rng import create_random_vector
+    from singlespmv_tpu.data.generators import generate
+
+    coo = generate("band", 96, 4, seed=1)
+    assert tolerance_for(coo, "bfloat16") > tolerance_for(coo, "float32")
+    cfg = Config(format="csr", dtype="bfloat16")
+    st = formats.convert(coo, cfg)
+    x = create_random_vector(coo.n_col).astype(cfg.np_dtype)
+    y = np.asarray(jax.jit(formats.spmv_fn(cfg))(st, x)).astype(np.float64)
+    ok, det = verify_result(coo, np.asarray(x, np.float64), y,
+                            dtype=cfg.np_dtype)
+    assert ok, det

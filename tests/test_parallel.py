@@ -68,3 +68,24 @@ class TestDistSpMV:
             rng.integers(0, n_col, nnz), rng.uniform(-1, 1, nnz),
             sum_duplicates=True)
         check(coo, make_mesh((("row", 4), ("col", 2))))
+
+
+class TestDistSpMM:
+    def test_matches_dense(self):
+        from singlespmv_tpu.core.rng import create_random_matrix
+
+        coo = powerlaw(200, 3000, seed=6)
+        op = DistSpMV.convert(coo, CFG, make_mesh((("row", 4), ("col", 2))))
+        X = create_random_matrix(coo.n_col, 8, seed=2)
+        Y = np.asarray(op.spmm(X))
+        np.testing.assert_allclose(Y, coo.to_dense() @ X, rtol=1e-9, atol=1e-9)
+
+    def test_gather_x_mode(self):
+        from singlespmv_tpu.core.rng import create_random_matrix
+
+        coo = generate("band", 96, 5, seed=9)
+        op = DistSpMV.convert(coo, CFG, make_mesh((("row", 8),)),
+                              col_axis=None, gather_x=True)
+        X = create_random_matrix(coo.n_col, 4, seed=3)
+        Y = np.asarray(op.spmm(X))
+        np.testing.assert_allclose(Y, coo.to_dense() @ X, rtol=1e-9, atol=1e-9)
