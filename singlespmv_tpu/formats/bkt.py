@@ -26,6 +26,7 @@ PAD_LIMIT = 16.0       # max padded-slots / nnz before refusing — generous:
                        # pad slots stream at HBM speed, so even 10x-padded bkt
                        # beats scatter-bound alternatives on hyper-sparse inputs
 MIN_SLOTS = 1 << 16    # small matrices are always allowed
+K_MAX = 8              # collision-chain cap (idx VMEM ∝ K); excess → overflow
 
 
 def estimate(coo: COOMatrix, cfg: Config) -> dict:
@@ -173,14 +174,12 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
     np.cumsum(counts[:-1], out=start[1:])
     seq = np.arange(nnz) - start[b_sorted]
 
-    # Entries beyond the per-bucket cap overflow into BSR.
+    # Entries beyond the per-bucket cap overflow into BSR (built further down,
+    # together with the over-chained-run overflow).
     over = seq >= S
-    from . import bsr as bsr_mod
-
-    over_coo = COOMatrix.from_triplets(
-        n_row, n_col, rows[order][over], cols[order][over],
-        coo.val[order][over], index_bits=cfg.index_bits, sort=True)
-    overflow_state = bsr_mod.convert(over_coo, cfg)
+    over_rows = [rows[order][over]]
+    over_cols = [cols[order][over]]
+    over_vals = [coo.val[order][over]]
 
     keep_s = ~over
     order = order[keep_s]
@@ -245,6 +244,7 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
     # collision chain: k-th run of (brow, bin)
     okey = er * LANES + bins
     oorder = np.lexsort((el, okey))
+    run_ids_s = run_ids[keep][oorder]
     er_s, el_s, bins_s, okey_s = er[oorder], el[oorder], bins[oorder], okey[oorder]
     is_first = np.empty(len(okey_s), dtype=bool)
     if len(okey_s):
@@ -254,7 +254,32 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
     first_pos = np.nonzero(is_first)[0]
     chain = np.arange(len(okey_s)) - first_pos[grp] if len(okey_s) else \
         np.zeros(0, np.int64)
+
+    # Cap the collision-chain depth: runs beyond K_MAX passes would blow VMEM
+    # (idx is K·blk rows per kernel block), so their entries overflow into BSR.
+    if chain.size and chain.max() >= K_MAX:
+        bad_runs = np.zeros(int(run_id_flat[-1]) + 1, dtype=bool)
+        bad_runs[run_ids_s[chain >= K_MAX]] = True
+        slot_bad_b = bad_runs[run_id_flat].reshape(B_rows, LANES) & real_b
+        ent_b = np.full(B_rows * LANES, -1, dtype=np.int64)
+        ent_b[brow[slot] * LANES + lane[slot]] = np.arange(nnz_in)
+        bad_ent = ent_b[np.nonzero(slot_bad_b.reshape(-1))[0]]
+        bad_ent = bad_ent[bad_ent >= 0]
+        over_rows.append(rows[order][bad_ent])
+        over_cols.append(cols[order][bad_ent])
+        over_vals.append(coo.val[order][bad_ent])
+        val_a[slot[bad_ent]] = 0        # excluded from the grid path (+ to_coo)
+        routed = chain < K_MAX
+        er_s, el_s, bins_s, chain = (er_s[routed], el_s[routed],
+                                     bins_s[routed], chain[routed])
     K = int(chain.max(initial=0)) + 1
+
+    from . import bsr as bsr_mod
+
+    over_coo = COOMatrix.from_triplets(
+        n_row, n_col, np.concatenate(over_rows), np.concatenate(over_cols),
+        np.concatenate(over_vals), index_bits=cfg.index_bits, sort=True)
+    overflow_state = bsr_mod.convert(over_coo, cfg)
 
     blk = 8 * G
     n_blocks = RB_pad // 8

@@ -108,3 +108,33 @@ class TestAuto:
                             log=lambda m: None)
         assert res.verify_ok
         assert "ChosenFormat" in res.report
+
+
+def test_k_cap_overflow_path():
+    """Over-chained runs (K > K_MAX) must overflow to BSR, capping idx VMEM."""
+    import jax
+
+    from singlespmv_tpu.formats import bkt as bkt_mod
+
+    rng = np.random.default_rng(6)
+    n = 1024 * 128            # RB = 1024 -> S alignment 1 -> tiny S, deep chains
+    nnz = 400000
+    rows = rng.integers(0, n // 128, nnz) * 128   # all lo=0: max collisions
+    cols = rng.integers(0, n, nnz)
+    coo = COOMatrix.from_triplets(n, n, rows, cols, rng.uniform(-1, 1, nnz),
+                                  sum_duplicates=True)
+    cfg = F64.replace(format="bkt", bkt_balance=False)
+    st = formats.convert(coo, cfg)
+    assert st.k <= bkt_mod.K_MAX
+    assert st.overflow_nnz > 0
+
+    x = create_random_vector(coo.n_col)
+    y = np.asarray(jax.jit(formats.spmv_fn(cfg))(st, x))
+    ok, det = verify_result(coo, x, y, dtype=np.float64)
+    assert ok, det
+
+    back = formats.to_coo(st, cfg)
+    assert back.nnz == coo.nnz
+    np.testing.assert_array_equal(back.row, coo.row)
+    np.testing.assert_array_equal(back.col, coo.col)
+    np.testing.assert_allclose(back.val, coo.val)
