@@ -75,13 +75,16 @@ def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
 
     if coo.nnz and pallas_pkg.supports(cfg.np_dtype):
         est = bkt_mod.estimate(coo, cfg)
-        if est["feasible"]:
+        # S ≤ 4 means near-empty buckets: collision chains overflow en masse
+        # into scattered BSR blocks and the design degenerates (measured on
+        # 206k-row synthetics) — don't offer bkt there.
+        if est["feasible"] and est["s"] > 4:
             slots, over, k_est = est["slots"], est["overflow"], est["k_est"]
-            # Overflow rides BSR on dense buckets: ~3 streamed values/entry;
+            # Overflow entries land in BSR blocks (~2 ns/entry streamed);
             # K collision-chain passes stream K·4 B/slot of static indices.
-            costs["bkt"] = (slots * (16 + 4 * k_est) / HBM_BPS
+            costs["bkt"] = (slots * (16 + 4 * min(k_est, 8)) / HBM_BPS
                             + slots / LANE_GATHER_RATE / 2
-                            + 3 * over * vsz / HBM_BPS)
+                            + over * 2e-9)
     return costs
 
 
