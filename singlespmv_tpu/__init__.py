@@ -10,6 +10,15 @@ and multi-chip sharding via jax.sharding/shard_map.
 """
 from .config import Config, DEFAULT
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = ["Config", "DEFAULT", "__version__"]
+
+
+def __getattr__(name):
+    # Lazy convenience access: singlespmv_tpu.formats / .ops / .parallel etc.
+    if name in ("formats", "core", "ops", "parallel", "harness", "data"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)

@@ -43,18 +43,22 @@ def _stats(coo: COOMatrix, cfg: Config):
     bm, bn = max(8, cfg.row_block), cfg.lane_width
     blocks = len(np.unique((coo.row.astype(np.int64) // bm) * (2 ** 32)
                            + coo.col.astype(np.int64) // bn)) if coo.nnz else 1
-    # CSS combine slots ≈ number of (row, col-block) runs.
+    # CSS combine slots ≈ number of (row, col-block) runs; pad ≈ half a tile
+    # per nonempty column block (tile = 8·W_eff, W_eff ~ avg block / 8).
     if coo.nnz:
         cb = coo.col.astype(np.int64) // 128
         runs = len(np.unique(coo.row.astype(np.int64) * (2 ** 32) + cb))
+        n_cb = len(np.unique(cb))
+        w_eff = max(128, -(-int(coo.nnz / n_cb / 8) // 128) * 128)
+        css_stream = coo.nnz + n_cb * 4 * w_eff
     else:
-        runs = 1
-    return vsz, n_diag, blocks, runs
+        runs, css_stream = 1, 1
+    return vsz, n_diag, blocks, runs, css_stream
 
 
 def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
     """Seconds per SpMV by format, from the measured-rate model."""
-    vsz, n_diag, blocks, runs = _stats(coo, cfg)
+    vsz, n_diag, blocks, runs, css_stream = _stats(coo, cfg)
     n, m, nnz = coo.n_row, coo.n_col, max(coo.nnz, 1)
     costs = {}
     dia_elems = n_diag * max(n, 1)
@@ -67,9 +71,13 @@ def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
     # ~10 ns/block fixed overhead calibrated on TPU v5e (x-row gather + sorted
     # block-row segment-sum; measured: 140k blocks → 2.3 ms, 313k → 6 ms).
     costs["bsr"] = (blocks * bm * bn * vsz / HBM_BPS + blocks * 1e-8)
-    costs["css"] = (1.1 * nnz / LANE_GATHER_RATE          # fused mul+scan
-                    + runs / SCATTER_RATE                 # run combine scatter
-                    + nnz * (vsz + 4) / HBM_BPS)          # stream traffic
+    if css_stream <= 8 * nnz + (1 << 16):                 # mirrors css's guard
+        # extraction + combine are XLA gathers over (H, r_max) partial slots —
+        # bounded by the stream itself when runs are dense (scattered inputs).
+        combine_slots = min(css_stream, 8 * runs)
+        costs["css"] = (css_stream / LANE_GATHER_RATE     # fused mul+scan
+                        + 2 * combine_slots / SCATTER_RATE
+                        + css_stream * (vsz + 4) / HBM_BPS)
     # bkt: two-phase scatter-free bucketing (streamed slots + lane gather).
     from ..ops import pallas as pallas_pkg
 

@@ -57,16 +57,24 @@ def convert(coo: COOMatrix, cfg: Config) -> CSSState:
     if optimized:
         # Pad each 128-column block's sub-stream to a multiple of 8·W so every
         # kernel tile (8 stream rows) lives in ONE block (pads: ghost row,
-        # col = block base, val = 0).
-        tile_elems = 8 * w
+        # col = block base, val = 0).  W adapts downward when blocks are small —
+        # a fixed large W would pad every tiny block to 8·W (catastrophic for
+        # wide matrices: 65k blocks × 16k slots was a 80× blow-up).
         sblk = blk[order]
         present, counts = (np.unique(sblk, return_counts=True)
                            if coo.nnz else (np.zeros(1, np.int64),
                                             np.zeros(1, np.int64)))
+        avg_blk = coo.nnz / max(len(present), 1)
+        w = min(w, max(LANES, round_up(int(avg_blk / 8) + 1, LANES)))
+        tile_elems = 8 * w
         padded = np.maximum(tile_elems,
                             (np.ceil(counts / tile_elems) * tile_elems)
                             .astype(np.int64))
         total = int(padded.sum())
+        if total > 8 * max(coo.nnz, 1) + (1 << 16):
+            raise ValueError(
+                f"css: block padding {total} slots vs nnz {coo.nnz} — too many "
+                "near-empty column blocks; use bkt/bsr")
         prow = np.full(total, coo.n_row, dtype=np.int64)
         pcol = np.zeros(total, dtype=coo.col.dtype)
         pval = np.zeros(total, dtype=np.float64)
@@ -74,12 +82,18 @@ def convert(coo: COOMatrix, cfg: Config) -> CSSState:
         np.cumsum(padded[:-1], out=out_start[1:])
         in_start = np.zeros(len(present), dtype=np.int64)
         np.cumsum(counts[:-1], out=in_start[1:])
-        for i, b in enumerate(present):
-            s, c, o = int(in_start[i]), int(counts[i]), int(out_start[i])
-            prow[o: o + c] = rows[s: s + c]
-            pcol[o: o + c] = cols[s: s + c]
-            pval[o: o + c] = vals[s: s + c]
-            pcol[o + c: o + int(padded[i])] = int(b) * block_cols  # in-block pad
+        # vectorized fill: entry i of block b lands at out_start[b] + rank
+        binv = np.searchsorted(present, sblk)
+        pos = out_start[binv] + (np.arange(coo.nnz) - in_start[binv])
+        prow[pos] = rows
+        pcol[pos] = cols
+        pval[pos] = vals
+        # pad slots keep their block's base column (for in-block lane gather)
+        pad_mask = np.ones(total, dtype=bool)
+        pad_mask[pos] = False
+        pad_blk = np.repeat(present, padded)[pad_mask]
+        pcol[pad_mask] = pad_blk * block_cols
+        cfg = cfg.replace(segment_width=w)
         base = ss.build_stream(coo, cfg, rows=prow, cols=pcol, vals=pval,
                                sorted_combine=False)
         # One block id per (8, W) kernel tile (total % (8w) == 0 by construction).

@@ -152,6 +152,8 @@ def run_benchmark(
             loop *= 2
 
     # --- best-of-N timed trials (main.cpp:80-102), loop chained on device ---
+    # Marginal differencing: per-iteration time = (t(n) − t(n/2)) / (n/2),
+    # cancelling the fixed per-call cost (tunnel RPC, loop ramp) exactly.
     import contextlib
 
     tracer = (jax.profiler.trace(trace_dir) if trace_dir
@@ -159,15 +161,19 @@ def run_benchmark(
     best = float("inf")
     with tracer:
         for _ in range(n_trials):
-            t0 = now()
-            jax.block_until_ready(run_n(state, xd, loop))
-            best = min(best, (now() - t0) / loop)
-    # Subtract the one-call dispatch floor measured with n=0 (pure RPC latency).
-    t0 = now()
-    jax.block_until_ready(run_n(state, xd, 0))
-    dispatch_floor = now() - t0
-    if loop > 1:
-        best = max(best - dispatch_floor / loop, 1e-12)
+            if loop >= 8:
+                half = loop // 2
+                t0 = now()
+                jax.block_until_ready(run_n(state, xd, half))
+                t1 = now()
+                jax.block_until_ready(run_n(state, xd, loop))
+                t2 = now()
+                per = max((t2 - t1) - (t1 - t0), 1e-12) / (loop - half)
+            else:
+                t0 = now()
+                jax.block_until_ready(run_n(state, xd, loop))
+                per = (now() - t0) / loop
+            best = min(best, per)
 
     flops = 2.0 * coo.nnz                        # main.cpp:196 / CSR5 utils.h:17-20
     gflops = flops / best / 1e9 if best > 0 else 0.0

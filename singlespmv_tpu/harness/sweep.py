@@ -98,7 +98,7 @@ def run_sweep(
     """
     from .driver import run_benchmark
 
-    rows = parse_todo(todo) if os.path.exists(str(todo)) else parse_todo(todo)
+    rows = parse_todo(todo)
     os.makedirs(out_dir, exist_ok=True)
     mpath = os.path.join(out_dir, manifest_name)
     manifest = {}
