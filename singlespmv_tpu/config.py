@@ -32,6 +32,7 @@ class Config:
     lane_width: int = 128           # hardware lane width (TPU: 128)
     bkt_cap_pct: float = 90.0       # bkt bucket-depth cap percentile (overflow→BSR)
     bkt_balance: bool = True        # bkt lane-preserving row balance permutation
+    bkt_row_group: int = 128        # bkt rows per bucket (128 | 1024 grouped mode)
 
     # --- numerics ---
     dtype: str = "float32"          # value dtype on device: float32|float64|bfloat16

@@ -85,7 +85,7 @@ def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
         est = bkt_mod.estimate(coo, cfg)
         # S ≤ 4 means near-empty buckets: collision chains overflow en masse
         # into scattered BSR blocks and the design degenerates (measured on
-        # 206k-row synthetics) — don't offer bkt there.
+        # 206k-row synthetics) — don't offer 128-row bkt there.
         if est["feasible"] and est["s"] > 4:
             slots, over, k_est = est["slots"], est["overflow"], est["k_est"]
             # Overflow entries land in BSR blocks (~2 ns/entry streamed);
@@ -93,6 +93,15 @@ def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
             costs["bkt"] = (slots * (16 + 4 * min(k_est, 8)) / HBM_BPS
                             + slots / LANE_GATHER_RATE / 2
                             + over * 2e-9)
+        # 1024-row grouped mode: 8× fewer, deeper buckets (hyper-sparse
+        # remedy); stage-B idx planes stream 32·K B/slot ((k, σ)-major).
+        est_g = bkt_mod.estimate(coo, cfg.replace(bkt_row_group=1024))
+        if est_g["feasible"] and est_g["s"] > 8:
+            slots, over = est_g["slots"], est_g["overflow"]
+            k_g = max(1, min(4, 1024 // max(1, est_g["s"])))
+            costs["bkt_g"] = (slots * (16 + 32 * k_g) / HBM_BPS
+                              + slots / LANE_GATHER_RATE / 2
+                              + over * 2e-9)
     return costs
 
 
@@ -102,7 +111,7 @@ def choose(coo: COOMatrix, cfg: Config) -> str:
 
 
 _MODULES = {"dia": dia_mod, "dense": dense_mod, "bsr": bsr_mod,
-            "css": css_mod, "bkt": bkt_mod}
+            "css": css_mod, "bkt": bkt_mod, "bkt_g": bkt_mod}
 
 
 class AutoState:
@@ -138,8 +147,9 @@ def convert(coo: COOMatrix, cfg: Config) -> AutoState:
     costs = estimate_costs(coo, cfg)
     last_err = None
     for chosen in sorted(costs, key=costs.get):
+        ccfg = cfg.replace(bkt_row_group=1024) if chosen == "bkt_g" else cfg
         try:
-            return AutoState(chosen, _MODULES[chosen].convert(coo, cfg))
+            return AutoState(chosen, _MODULES[chosen].convert(coo, ccfg))
         except (ValueError, TypeError) as e:   # guard refused — next candidate
             last_err = e
     raise last_err if last_err else ValueError("auto: no viable format")

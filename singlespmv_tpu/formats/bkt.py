@@ -44,12 +44,14 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
     """
     import math
 
+    ru = max(1, int(cfg.bkt_row_group) // LANES)
     RB = cdiv(max(coo.n_row, 1), LANES)
     CB = cdiv(max(coo.n_col, 1), LANES)
+    NU = cdiv(RB, ru)
     if coo.nnz:
-        counts0 = np.bincount((coo.col.astype(np.int64) // LANES) * RB
-                              + coo.row.astype(np.int64) // LANES,
-                              minlength=CB * RB)
+        counts0 = np.bincount((coo.col.astype(np.int64) // LANES) * NU
+                              + coo.row.astype(np.int64) // (ru * LANES),
+                              minlength=CB * NU)
     else:
         counts0 = np.zeros(1, dtype=np.int64)
     nz = counts0[counts0 > 0]
@@ -57,23 +59,28 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
     s_cap = int(np.percentile(nz, cfg.bkt_cap_pct)) if nz.size else 1
     s_base = max(min(s_need, max(s_cap, 1)), 1)
 
-    def plan(rb_mult):
-        rbp = round_up(RB, rb_mult)
-        align = max(1, 1024 // math.gcd(rbp, 1024))
+    def plan(u_mult):
+        nup = round_up(NU, u_mult)
+        align = max(1, 1024 // math.gcd(nup, 1024))
         s = round_up(s_base, align)
         cbp = round_up(CB, 128 // math.gcd(s, 128))
-        return cbp * rbp * s, rbp, s, cbp
+        if ru == 8:   # grouped stage-B blocks are (G, 128): need G % 8 == 0
+            cbp = round_up(cbp, 1024 // math.gcd(s, 1024))
+        return cbp * nup * s, nup, s, cbp
 
-    n, rb_pad, s, cb_pad = min(plan(m) for m in (8, 64, 128, 256, 1024))
+    n, nu_pad, s, cb_pad = min(plan(m) for m in (8, 64, 128, 256, 1024))
     over = int(np.maximum(nz - s, 0).sum()) if nz.size else 0
-    k_est = max(1, min(16, 128 // max(1, s)))
+    k_est = max(1, min(16, (ru * 128) // max(1, s)))
     feasible = n <= max(PAD_LIMIT * max(coo.nnz, 1), MIN_SLOTS)
-    return {"slots": n, "s": s, "rb_pad": rb_pad, "cb_pad": cb_pad,
+    if ru == 8 and cb_pad * s // 128 < 8:
+        feasible = False
+    return {"slots": n, "s": s, "rb_pad": nu_pad * ru, "cb_pad": cb_pad,
             "overflow": over, "k_est": k_est, "feasible": feasible}
 
 
 @pytree_dataclass(meta=("n_row", "n_col", "nnz", "rb_pad", "cb_pad", "s", "g",
-                        "k", "n_slots", "overflow_nnz", "balanced"))
+                        "k", "n_slots", "overflow_nnz", "balanced",
+                        "row_group"))
 class BKTState:
     n_row: int
     n_col: int
@@ -96,14 +103,21 @@ class BKTState:
     balanced: bool = False
     src_lane: object = None   # (128, RB_pad) int32 — balance-inverse routing
     src_chunk: object = None
+    row_group: int = 128      # rows per bucket unit (128 or 1024); 1024 uses
+                              # the grouped stage-B kernel (hyper-sparse mode)
 
 
 def convert(coo: COOMatrix, cfg: Config) -> BKTState:
     n_row, n_col, nnz = coo.n_row, coo.n_col, coo.nnz
     import math
 
+    ru = max(1, int(cfg.bkt_row_group) // LANES)   # 128-row blocks per bucket
+    if ru not in (1, 8):
+        raise ValueError("bkt_row_group must be 128 or 1024")
+    RL = ru * LANES                                 # rows per bucket unit
     RB = cdiv(max(n_row, 1), LANES)
     CB = cdiv(max(n_col, 1), LANES)
+    NU = cdiv(RB, ru)                               # bucket row units
 
     rows = coo.row.astype(np.int64)
     cols = coo.col.astype(np.int64)
@@ -128,11 +142,14 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
             loads[targets] += w[order_desc, cls]
         rb = new_rb_of[rb, lo]
 
+    ub = rb // ru                                  # bucket row-unit index
+    rl = (rb % ru) * LANES + lo                    # row-local within the unit
+
     # S: bucket depth, capped near the 90th percentile — dense buckets' excess
     # routes to the BSR overflow (the dense part is exactly what BSR is good
     # at, mirroring CSR5's fast/normal track split).
-    counts0 = np.bincount(cb * RB + rb, minlength=CB * RB) if nnz else \
-        np.zeros(CB * RB, dtype=np.int64)
+    counts0 = np.bincount(cb * NU + ub, minlength=CB * NU) if nnz else \
+        np.zeros(CB * NU, dtype=np.int64)
     nz_counts = counts0[counts0 > 0]
     s_need = int(counts0.max(initial=1))
     s_cap = int(np.percentile(nz_counts, cfg.bkt_cap_pct)) if nz_counts.size \
@@ -142,14 +159,17 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
     # RB_pad rounding trades ghost row-blocks against the S alignment forced by
     # "stage-A tiles (1024 slots) single-col-block": S must be a multiple of
     # 1024/gcd(RB_pad, 1024).  Pick the candidate minimizing total slots.
-    def plan(rb_mult):
-        rbp = round_up(RB, rb_mult)
-        align = max(1, 1024 // math.gcd(rbp, 1024))
+    def plan(u_mult):
+        nup = round_up(NU, u_mult)
+        align = max(1, 1024 // math.gcd(nup, 1024))
         s = round_up(s_base, align)
         cbp = round_up(CB, 128 // math.gcd(s, 128))
-        return cbp * rbp * s, rbp, s, cbp
+        if ru == 8:   # grouped stage-B blocks are (G, 128): need G % 8 == 0
+            cbp = round_up(cbp, 1024 // math.gcd(s, 1024))
+        return cbp * nup * s, nup, s, cbp
 
-    N, RB_pad, S, CB_pad = min(plan(m) for m in (8, 64, 128, 256, 1024))
+    N, NU_pad, S, CB_pad = min(plan(m) for m in (8, 64, 128, 256, 1024))
+    RB_pad = NU_pad * ru
     if N > max(PAD_LIMIT * max(nnz, 1), MIN_SLOTS):
         raise ValueError(
             f"bkt: padded grid {N} slots vs nnz {nnz} exceeds PAD_LIMIT — "
@@ -157,6 +177,8 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
 
     G = CB_pad * S // LANES
     H = N // LANES
+    if ru == 8 and G < 8:
+        raise ValueError("bkt grouped mode needs G >= 8 (matrix too narrow)")
 
     # Inverse routing for the balance permutation, sized to the final RB_pad:
     # out[lo, rb_orig] reads y_tab[new_rb_of[rb_orig, lo], lo]; identity on pads.
@@ -171,13 +193,13 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
         src_lane = device_put(np.zeros((LANES, LANES), np.int32))
         src_chunk = device_put(np.zeros((LANES, LANES), np.int32))
 
-    # ---- slot assignment: bucket-major, lo-sorted within bucket -------------
-    bucket = cb * RB_pad + rb
-    counts = np.bincount(bucket, minlength=CB * RB_pad) if nnz else \
-        np.zeros(CB * RB_pad, dtype=np.int64)
-    order = np.lexsort((cols, lo, bucket)) if nnz else np.zeros(0, np.int64)
+    # ---- slot assignment: bucket-major, row-local-sorted within bucket ------
+    bucket = cb * NU_pad + ub
+    counts = np.bincount(bucket, minlength=CB * NU_pad) if nnz else \
+        np.zeros(CB * NU_pad, dtype=np.int64)
+    order = np.lexsort((cols, rl, bucket)) if nnz else np.zeros(0, np.int64)
     b_sorted = bucket[order]
-    start = np.zeros(CB * RB_pad, dtype=np.int64)
+    start = np.zeros(CB * NU_pad, dtype=np.int64)
     np.cumsum(counts[:-1], out=start[1:])
     seq = np.arange(nnz) - start[b_sorted]
 
@@ -195,42 +217,47 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
     nnz_in = int(order.shape[0])
     slot = b_sorted * S + seq
 
-    slot_cb = np.arange(N) // (RB_pad * S)
+    slot_cb = np.arange(N) // (NU_pad * S)
     col_a = (slot_cb * LANES).astype(np.int64)       # ghost: lane 0 of own block
     val_a = np.zeros(N, dtype=cfg.np_dtype)
-    lo_slot = np.full(N, LANES - 1, dtype=np.int64)  # ghosts sort/merge at 127
+    rl_slot = np.full(N, RL - 1, dtype=np.int64)     # ghosts sort/merge last
     real = np.zeros(N, dtype=bool)
     col_a[slot] = cols[order]
     val_a[slot] = coo.val[order].astype(cfg.np_dtype)
-    lo_slot[slot] = lo[order]
+    rl_slot[slot] = rl[order]
     real[slot] = True
 
     n_tiles = H // 8
-    cb_ids = ((np.arange(n_tiles) * 8 * LANES) // (RB_pad * S)).astype(np.int32)
+    cb_ids = ((np.arange(n_tiles) * 8 * LANES) // (NU_pad * S)).astype(np.int32)
 
     # ---- stage-B layout -----------------------------------------------------
-    # slot -> (cb, rb, seq) -> B position (brow, lane)
+    # slot -> (cb, unit, seq) -> B position (brow, lane)
     s_cb = slot_cb
-    s_rem = np.arange(N) % (RB_pad * S)
-    s_rb = s_rem // S
+    s_rem = np.arange(N) % (NU_pad * S)
+    s_ub = s_rem // S
     s_seq = s_rem % S
     q = s_cb * S + s_seq
     j = q // LANES
     lane = q % LANES
-    brow = (s_rb // 8) * (8 * G) + j * 8 + (s_rb % 8)
+    if ru == 1:
+        # 8 slabs per kernel block, j-interleaved (min-tile outputs)
+        brow = (s_ub // 8) * (8 * G) + j * 8 + (s_ub % 8)
+    else:
+        # one slab per kernel block; output is the unit's (8, 128) y rows
+        brow = s_ub * G + j
 
-    B_rows = RB_pad * G
-    lo_b = np.full((B_rows, LANES), LANES - 1, dtype=np.int64)
+    B_rows = NU_pad * G
+    rl_b = np.full((B_rows, LANES), RL - 1, dtype=np.int64)
     real_b = np.zeros((B_rows, LANES), dtype=bool)
     bucket_start_b = np.zeros((B_rows, LANES), dtype=bool)
-    lo_b[brow, lane] = lo_slot
+    rl_b[brow, lane] = rl_slot
     real_b[brow, lane] = real
     bucket_start_b[brow, lane] = (s_seq == 0)
 
-    prev_lo = np.empty_like(lo_b)
-    prev_lo[:, 0] = -1
-    prev_lo[:, 1:] = lo_b[:, :-1]
-    heads_b = bucket_start_b | (lo_b != prev_lo)
+    prev_rl = np.empty_like(rl_b)
+    prev_rl[:, 0] = -1
+    prev_rl[:, 1:] = rl_b[:, :-1]
+    heads_b = bucket_start_b | (rl_b != prev_rl)
     heads_b[:, 0] = True
 
     nxt_head = np.empty_like(heads_b)
@@ -246,10 +273,10 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
     run_ids = run_id_flat.reshape(B_rows, LANES)[er, el]
     keep = run_real[run_ids]
     er, el = er[keep], el[keep]
-    bins = lo_b[er, el]
+    bins = rl_b[er, el]
 
     # collision chain: k-th run of (brow, bin)
-    okey = er * LANES + bins
+    okey = er * RL + bins
     oorder = np.lexsort((el, okey))
     run_ids_s = run_ids[keep][oorder]
     er_s, el_s, bins_s, okey_s = er[oorder], el[oorder], bins[oorder], okey[oorder]
@@ -289,12 +316,21 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
         np.concatenate(over_vals), index_bits=cfg.index_bits, sort=True)
     overflow_state = bsr_mod.convert(over_coo, cfg)
 
-    blk = 8 * G
-    n_blocks = RB_pad // 8
-    idx_full = np.full((n_blocks * K * blk, LANES), -1, dtype=np.int32)
-    blk_i = er_s // blk
-    row_in_blk = er_s % blk
-    idx_full[(blk_i * K + chain) * blk + row_in_blk, bins_s] = el_s
+    if ru == 1:
+        blk = 8 * G
+        n_blocks = NU_pad // 8
+        idx_full = np.full((n_blocks * K * blk, LANES), -1, dtype=np.int32)
+        blk_i = er_s // blk
+        row_in_blk = er_s % blk
+        idx_full[(blk_i * K + chain) * blk + row_in_blk, bins_s] = el_s
+    else:
+        # slab-major, (k, σ)-minor planes of (G, 128); bin = σ·128 + lane
+        idx_full = np.full((NU_pad * K * 8 * G, LANES), -1, dtype=np.int32)
+        slab_i = er_s // G
+        row_in = er_s % G
+        sig = bins_s // LANES
+        b_lane = bins_s % LANES
+        idx_full[((slab_i * K + chain) * 8 + sig) * G + row_in, b_lane] = el_s
 
     return BKTState(
         n_row=n_row, n_col=n_col, nnz=nnz, rb_pad=RB_pad, cb_pad=CB_pad,
@@ -304,9 +340,10 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
         val=device_put(val_a.reshape(H, LANES)),
         heads=device_put(heads_b.astype(np.int32)),
         idx=device_put(idx_full),
-        lo_a=device_put(lo_slot.reshape(H, LANES).astype(np.int32)),
+        lo_a=device_put(rl_slot.reshape(H, LANES).astype(np.int32)),
         overflow=overflow_state,
         balanced=balanced, src_lane=src_lane, src_chunk=src_chunk,
+        row_group=RL,
     )
 
 
@@ -319,25 +356,38 @@ def spmv(state: BKTState, x):
         raise TypeError(
             "bkt runs Pallas kernels: use float32/bfloat16 on TPU (f64 is "
             "Mosaic-unsupported; pick csr/ss for an f64 XLA path)")
-    from ..ops.pallas.bucket import block_gather_mul, bucket_reduce
+    from ..ops.pallas.bucket import (block_gather_mul, bucket_reduce,
+                                     bucket_reduce_grouped)
 
     RB_pad, CB_pad, S, G = state.rb_pad, state.cb_pad, state.s, state.g
+    ru = state.row_group // LANES
+    NU_pad = RB_pad // ru
     xp = jnp.zeros((CB_pad * LANES,), x.dtype).at[: state.n_col].set(x)
     prod = block_gather_mul(state.cb_ids, state.col, state.val,
                             xp.reshape(CB_pad, LANES))
-    # cb-major -> rb-major with 8-slab j-interleave (pure relayout, no gather).
-    # When S divides 128 the q = cb·S + seq split factors across the lane
-    # boundary, so ONE 5-D transpose does the whole relayout (~1.9× faster
-    # than the generic two-transpose path on chip).
-    if S <= LANES and LANES % S == 0 and CB_pad % (LANES // S) == 0:
+    # cb-major -> unit-major relayout (pure transpose, no gather).  When S
+    # divides 128 the q = cb·S + seq split factors across the lane boundary,
+    # so ONE 5-D transpose does the whole relayout (~1.9× faster on chip).
+    fused = S <= LANES and LANES % S == 0 and CB_pad % (LANES // S) == 0
+    if fused and ru == 1:
         c2n = LANES // S
-        p = (prod.reshape(CB_pad // c2n, c2n, RB_pad // 8, 8, S)
-             .transpose(2, 0, 3, 1, 4).reshape(RB_pad * G, LANES))
+        p = (prod.reshape(CB_pad // c2n, c2n, NU_pad // 8, 8, S)
+             .transpose(2, 0, 3, 1, 4).reshape(NU_pad * G, LANES))
+    elif fused:
+        c2n = LANES // S
+        p = (prod.reshape(CB_pad // c2n, c2n, NU_pad, S)
+             .transpose(2, 0, 1, 3).reshape(NU_pad * G, LANES))
+    elif ru == 1:
+        p = prod.reshape(CB_pad, NU_pad, S).transpose(1, 0, 2)
+        p = p.reshape(NU_pad // 8, 8, G, LANES).transpose(0, 2, 1, 3)
+        p = p.reshape(NU_pad * G, LANES)
     else:
-        p = prod.reshape(CB_pad, RB_pad, S).transpose(1, 0, 2)
-        p = p.reshape(RB_pad // 8, 8, G, LANES).transpose(0, 2, 1, 3)
-        p = p.reshape(RB_pad * G, LANES)
-    y_tab = bucket_reduce(p, state.heads, state.idx, RB_pad)
+        p = (prod.reshape(CB_pad, NU_pad, S).transpose(1, 0, 2)
+             .reshape(NU_pad * G, LANES))
+    if ru == 1:
+        y_tab = bucket_reduce(p, state.heads, state.idx, NU_pad)
+    else:
+        y_tab = bucket_reduce_grouped(p, state.heads, state.idx, NU_pad)
     if state.balanced:
         from ..ops.pallas.bucket import lane_unpermute
 
@@ -373,16 +423,20 @@ def to_coo(state: BKTState) -> COOMatrix:
     """Inverse conversion (explicit zeros dropped — they pad like ghosts)."""
     val = np.asarray(state.val).reshape(-1)
     col = np.asarray(state.col).reshape(-1)
-    lo = np.asarray(state.lo_a).reshape(-1)
+    rl = np.asarray(state.lo_a).reshape(-1)
     N = state.n_slots
-    s_rb = (np.arange(N) % (state.rb_pad * state.s)) // state.s
+    ru = state.row_group // LANES
+    nu_pad = state.rb_pad // ru
+    group = (np.arange(N) % (nu_pad * state.s)) // state.s
+    rows = group * state.row_group + rl
     if state.balanced:
         # invert the balance permutation: new_rb -> original rb, per lo class
+        s_rb = rows // LANES
+        lo = rows % LANES
         src_col = (np.asarray(state.src_chunk).astype(np.int64) * LANES
                    + np.asarray(state.src_lane))        # (128, RB_pad): orig->new
         inv = np.argsort(src_col, axis=1, kind="stable")  # (128, RB_pad): new->orig
-        s_rb = inv[lo, s_rb]
-    rows = s_rb * LANES + lo
+        rows = inv[lo, s_rb] * LANES + lo
     keep = val != 0
     rows, col, val = rows[keep], col[keep], val[keep]
     if state.overflow_nnz:

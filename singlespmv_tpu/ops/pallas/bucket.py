@@ -167,3 +167,71 @@ def lane_unpermute(y_t, src_lane, src_chunk):
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_use_interpret(),
     )(y_t, src_lane, src_chunk)
+
+
+# ----------------------------------------------- stage B, 1024-row groups ---
+
+def _reduce_grouped_kernel(prod_ref, heads_ref, idx_ref, out_ref):
+    """One slab = a 1024-row group: (G, 128) products → (8, 128) row sums.
+
+    idx holds K×8 planes of (G, 128) per slab, (k, σ)-major: pass (k, σ) routes
+    runs with bin = σ·128 + lane.  Fewer, deeper buckets than the 128-row mode
+    (8× fewer grid cells) — the hyper-sparse remedy."""
+    g = prod_ref.shape[0]
+    k8 = idx_ref.shape[0] // g           # K * 8
+
+    v = prod_ref[:]
+    f = heads_ref[:]
+    d = 1
+    while d < LANES:
+        vz = jnp.concatenate([jnp.zeros_like(v[:, :d]), v[:, :-d]], axis=1)
+        fz = jnp.concatenate([jnp.ones_like(f[:, :d]), f[:, :-d]], axis=1)
+        v = jnp.where(f > 0, v, v + vz)
+        f = jnp.maximum(f, fz)
+        d *= 2
+
+    rows_out = []
+    for sigma in range(8):
+        acc = jnp.zeros((g, LANES), v.dtype)
+        for kk in range(k8 // 8):
+            plane = (kk * 8 + sigma)
+            idx = idx_ref[plane * g:(plane + 1) * g, :]
+            picked = jnp.take_along_axis(v, jnp.maximum(idx, 0), axis=1)
+            acc = acc + jnp.where(idx >= 0, picked, 0.0)
+        cur = acc
+        n = g
+        while n > 1:
+            half = n // 2
+            top = cur[:half, :] + cur[half: 2 * half, :]
+            rest = cur[2 * half:, :]
+            cur = jnp.concatenate([top, rest], axis=0) if rest.shape[0] else top
+            n = cur.shape[0]
+        rows_out.append(cur)
+    out_ref[:] = jnp.concatenate(rows_out, axis=0)
+
+
+def bucket_reduce_grouped(products, heads, idx, rbg_pad: int):
+    """Row-group reduction: slabs of (G, 128) → (RBG_pad·8, 128) row sums.
+
+    products/heads: (RBG_pad·G, 128), slab i at rows [i·G, (i+1)·G).
+    idx: (K·8·RBG_pad·G, 128) — slab-major, (k, σ)-minor planes of (G, 128).
+    """
+    rows, _ = products.shape
+    g = rows // rbg_pad
+    k8 = idx.shape[0] // rows
+
+    def im(i, *_):
+        return (i, 0)
+
+    return pl.pallas_call(
+        _reduce_grouped_kernel,
+        out_shape=jax.ShapeDtypeStruct((rbg_pad * 8, LANES), products.dtype),
+        grid=(rbg_pad,),
+        in_specs=[
+            pl.BlockSpec((g, LANES), im, memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, LANES), im, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k8 * g, LANES), im, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, LANES), im, memory_space=pltpu.VMEM),
+        interpret=_use_interpret(),
+    )(products, heads, idx)

@@ -84,7 +84,7 @@ class TestAuto:
         ("band", lambda: generate("band", 2048, 16, seed=1), {"dia"}),
         ("dense", lambda: generate("dense", 256, seed=2), {"dense", "bsr"}),
         ("powerlaw", lambda: powerlaw(4096, 4096 * 24, seed=3),
-         {"bkt", "bsr", "dense"}),
+         {"bkt", "bkt_g", "bsr", "dense"}),
     ], ids=["band", "dense", "powerlaw"])
     def test_choice_and_correctness(self, name, make, expect):
         import jax
