@@ -96,7 +96,7 @@ def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
         # 1024-row grouped mode: 8× fewer, deeper buckets (hyper-sparse
         # remedy); stage-B idx planes stream 32·K B/slot ((k, σ)-major).
         est_g = bkt_mod.estimate(coo, cfg.replace(bkt_row_group=1024))
-        if est_g["feasible"] and est_g["s"] > 8:
+        if est_g["feasible"] and est_g["s"] > 4:
             slots, over = est_g["slots"], est_g["overflow"]
             k_g = max(1, min(4, 1024 // max(1, est_g["s"])))
             costs["bkt_g"] = (slots * (16 + 32 * k_g) / HBM_BPS
