@@ -168,7 +168,13 @@ def run_benchmark(
                 t1 = now()
                 jax.block_until_ready(run_n(state, xd, loop))
                 t2 = now()
-                per = max((t2 - t1) - (t1 - t0), 1e-12) / (loop - half)
+                margin = (t2 - t1) - (t1 - t0)
+                if margin > 0:
+                    per = margin / (loop - half)
+                else:
+                    # tunnel hiccup during the half run — fall back to the
+                    # (overhead-inclusive, hence conservative) average
+                    per = (t2 - t0) / (loop + half)
             else:
                 t0 = now()
                 jax.block_until_ready(run_n(state, xd, loop))
