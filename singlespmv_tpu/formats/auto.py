@@ -99,9 +99,16 @@ def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
         if est_g["feasible"] and est_g["s"] > 4:
             slots, over = est_g["slots"], est_g["overflow"]
             k_g = max(1, min(4, 1024 // max(1, est_g["s"])))
-            costs["bkt_g"] = (slots * (16 + 32 * k_g) / HBM_BPS
-                              + slots / LANE_GATHER_RATE / 2
-                              + over * 2e-9)
+            # Calibration from measured head-to-heads: grouped wins in the
+            # shallow-bucket regime (128-row S ≤ 64: 1.3–3.6×); in the deep-S
+            # regime (dense-ish buckets) the 128-row mode is ~1.4× faster.
+            factor = 0.6 if est.get("s", 1) <= 64 else 1.4
+            g_g = est_g["cb_pad"] * est_g["s"] // 128
+            if bkt_mod.k_cap(g_g, floor=1) < 2:
+                factor = 1.5          # grouped idx won't fit VMEM at K >= 2
+            costs["bkt_g"] = factor * (slots * (16 + 32 * k_g) / HBM_BPS
+                                       + slots / LANE_GATHER_RATE / 2
+                                       + over * 2e-9)
     return costs
 
 

@@ -31,9 +31,9 @@ IDX_VMEM_BUDGET = 4 << 20   # stage-B idx block bytes (double-buffered by the
                             # pipeline out of ~16 MB VMEM)
 
 
-def k_cap(g: int) -> int:
+def k_cap(g: int, floor: int = 4) -> int:
     """VMEM-aware collision-chain cap: idx block = K·8G·128·4 bytes."""
-    return max(4, min(K_MAX, IDX_VMEM_BUDGET // (8 * g * 128 * 4)))
+    return max(floor, min(K_MAX, IDX_VMEM_BUDGET // (8 * g * 128 * 4)))
 
 
 def estimate(coo: COOMatrix, cfg: Config) -> dict:
@@ -291,7 +291,7 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
 
     # Cap the collision-chain depth: runs beyond the VMEM-aware cap would blow
     # the stage-B idx block, so their entries overflow into BSR.
-    k_lim = k_cap(G)
+    k_lim = k_cap(G, floor=1 if ru == 8 else 4)  # grouped idx = K·8·G rows
     if chain.size and chain.max() >= k_lim:
         bad_runs = np.zeros(int(run_id_flat[-1]) + 1, dtype=bool)
         bad_runs[run_ids_s[chain >= k_lim]] = True
