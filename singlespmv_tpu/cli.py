@@ -107,10 +107,13 @@ def cmd_gen(args) -> int:
 
 
 def cmd_format_logs(args) -> int:
-    from .harness.logfmt import format_logs
+    from .harness.logfmt import format_logs, sum_gflops
 
     text = open(args.log).read() if args.log != "-" else sys.stdin.read()
-    print(format_logs(text, extra_keys=args.keys))
+    if args.sum:
+        print(f"{sum_gflops(text):.6f}")     # log/sum.sh analog
+    else:
+        print(format_logs(text, extra_keys=args.keys))
     return 0
 
 
@@ -232,6 +235,8 @@ def main(argv=None) -> int:
     p.add_argument("log", help="log file, or - for stdin")
     p.add_argument("--keys", nargs="*", default=None,
                    help="extra report keys to include as columns")
+    p.add_argument("--sum", action="store_true",
+                   help="print total GFLOPS instead of the table (log/sum.sh)")
     p.set_defaults(fn=cmd_format_logs)
 
     p = sub.add_parser("confirm", help="smoke-run all formats (confirm_cpu.sh)")

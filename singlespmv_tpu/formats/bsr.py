@@ -75,23 +75,39 @@ def spmv(state: BSRState, x):
     return yb.reshape(-1)[: state.n_row]
 
 
+MAX_GATHERED_ELEMS = 1 << 28    # cap on the materialized (n_blocks, bn, Bc) gather
+
+
 def spmm(state: BSRState, X):
-    """Y = A @ X with X (n_col, B): batched dense (bm×bn)@(bn×B) → MXU."""
+    """Y = A @ X with X (n_col, B): batched dense (bm×bn)@(bn×B) → MXU.
+
+    The gathered X blocks materialize (n_blocks, bn, B) — for block-scattered
+    matrices that explodes, so wide panels process in column chunks.
+    """
     import jax
     import jax.numpy as jnp
 
     b = X.shape[1]
-    n_col_pad = cdiv(state.n_col, state.bn) * state.bn
-    Xp = jnp.zeros((n_col_pad, b), X.dtype).at[: state.n_col].set(X)
-    Xb = Xp.reshape(-1, state.bn, b)[state.bcol]            # (n_blocks, bn, B)
-    part = jax.lax.dot_general(
-        state.blocks, Xb,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=state.blocks.dtype,
-    )                                                       # (n_blocks, bm, B)
-    Yb = jax.ops.segment_sum(part, state.brow, num_segments=state.n_brow,
-                             indices_are_sorted=True)
-    return Yb.reshape(-1, b)[: state.n_row]
+    chunk = max(8, min(b, MAX_GATHERED_ELEMS // max(state.n_blocks * state.bn, 1)))
+
+    def one_chunk(Xc):
+        bc = Xc.shape[1]
+        n_col_pad = cdiv(state.n_col, state.bn) * state.bn
+        Xp = jnp.zeros((n_col_pad, bc), Xc.dtype).at[: state.n_col].set(Xc)
+        Xb = Xp.reshape(-1, state.bn, bc)[state.bcol]       # (n_blocks, bn, Bc)
+        part = jax.lax.dot_general(
+            state.blocks, Xb,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=state.blocks.dtype,
+        )                                                   # (n_blocks, bm, Bc)
+        Yb = jax.ops.segment_sum(part, state.brow, num_segments=state.n_brow,
+                                 indices_are_sorted=True)
+        return Yb.reshape(-1, bc)[: state.n_row]
+
+    if chunk >= b:
+        return one_chunk(X)
+    outs = [one_chunk(X[:, i: i + chunk]) for i in range(0, b, chunk)]
+    return jnp.concatenate(outs, axis=1)
 
 
 def report_fields(state: BSRState, cfg: Config) -> dict:
