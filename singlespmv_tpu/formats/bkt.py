@@ -63,6 +63,8 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
         nup = round_up(NU, u_mult)
         align = max(1, 1024 // math.gcd(nup, 1024))
         s = round_up(s_base, align)
+        if s >= 128:
+            s = round_up(s, 128)   # enables the single fused relayout transpose
         cbp = round_up(CB, 128 // math.gcd(s, 128))
         if ru == 8:   # grouped stage-B blocks are (G, 128): need G % 8 == 0
             cbp = round_up(cbp, 1024 // math.gcd(s, 1024))
@@ -163,6 +165,8 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
         nup = round_up(NU, u_mult)
         align = max(1, 1024 // math.gcd(nup, 1024))
         s = round_up(s_base, align)
+        if s >= 128:
+            s = round_up(s, 128)   # enables the single fused relayout transpose
         cbp = round_up(CB, 128 // math.gcd(s, 128))
         if ru == 8:   # grouped stage-B blocks are (G, 128): need G % 8 == 0
             cbp = round_up(cbp, 1024 // math.gcd(s, 1024))
@@ -369,6 +373,7 @@ def spmv(state: BKTState, x):
     # divides 128 the q = cb·S + seq split factors across the lane boundary,
     # so ONE 5-D transpose does the whole relayout (~1.9× faster on chip).
     fused = S <= LANES and LANES % S == 0 and CB_pad % (LANES // S) == 0
+    fused_big = S > LANES and S % LANES == 0   # lanes = seq % 128 directly
     if fused and ru == 1:
         c2n = LANES // S
         p = (prod.reshape(CB_pad // c2n, c2n, NU_pad // 8, 8, S)
@@ -377,6 +382,14 @@ def spmv(state: BKTState, x):
         c2n = LANES // S
         p = (prod.reshape(CB_pad // c2n, c2n, NU_pad, S)
              .transpose(2, 0, 1, 3).reshape(NU_pad * G, LANES))
+    elif fused_big and ru == 1:
+        sh = S // LANES
+        p = (prod.reshape(CB_pad, NU_pad // 8, 8, sh, LANES)
+             .transpose(1, 0, 3, 2, 4).reshape(NU_pad * G, LANES))
+    elif fused_big:
+        sh = S // LANES
+        p = (prod.reshape(CB_pad, NU_pad, sh, LANES)
+             .transpose(1, 0, 2, 3).reshape(NU_pad * G, LANES))
     elif ru == 1:
         p = prod.reshape(CB_pad, NU_pad, S).transpose(1, 0, 2)
         p = p.reshape(NU_pad // 8, 8, G, LANES).transpose(0, 2, 1, 3)
