@@ -63,8 +63,6 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
         nup = round_up(NU, u_mult)
         align = max(1, 1024 // math.gcd(nup, 1024))
         s = round_up(s_base, align)
-        if s >= 128:
-            s = round_up(s, 128)   # enables the single fused relayout transpose
         cbp = round_up(CB, 128 // math.gcd(s, 128))
         if ru == 8:   # grouped stage-B blocks are (G, 128): need G % 8 == 0
             cbp = round_up(cbp, 1024 // math.gcd(s, 1024))
@@ -165,8 +163,6 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
         nup = round_up(NU, u_mult)
         align = max(1, 1024 // math.gcd(nup, 1024))
         s = round_up(s_base, align)
-        if s >= 128:
-            s = round_up(s, 128)   # enables the single fused relayout transpose
         cbp = round_up(CB, 128 // math.gcd(s, 128))
         if ru == 8:   # grouped stage-B blocks are (G, 128): need G % 8 == 0
             cbp = round_up(cbp, 1024 // math.gcd(s, 1024))
