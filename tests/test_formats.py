@@ -110,3 +110,45 @@ def test_spmv_jit_cache_stable():
     n0 = fn._cache_size()
     fn(s1, x * 2)
     assert fn._cache_size() == n0
+
+
+def test_empty_matrix_all_formats():
+    """nnz = 0 must produce y = 0 of the right shape in every format."""
+    import jax
+
+    from singlespmv_tpu import formats
+    from singlespmv_tpu.config import Config
+    from singlespmv_tpu.core.types import COOMatrix
+
+    empty = COOMatrix.from_triplets(12, 9, np.zeros(0, int), np.zeros(0, int),
+                                    np.zeros(0))
+    x = np.random.default_rng(0).uniform(size=9)
+    for fmt in formats.available_formats():
+        if fmt == "crs":
+            continue
+        cfg = Config(format=fmt, dtype="float64", segment_width=128)
+        st = formats.convert(empty, cfg)
+        y = np.asarray(jax.jit(formats.spmv_fn(cfg))(st, x))
+        assert y.shape == (12,) and np.allclose(y, 0), fmt
+
+
+def test_single_element_all_formats():
+    """nnz = 1 edge case."""
+    import jax
+
+    from singlespmv_tpu import formats
+    from singlespmv_tpu.config import Config
+    from singlespmv_tpu.core.types import COOMatrix
+
+    one = COOMatrix.from_triplets(5, 7, np.array([3]), np.array([6]),
+                                  np.array([2.5]))
+    x = np.arange(7, dtype=np.float64)
+    want = np.zeros(5)
+    want[3] = 2.5 * 6
+    for fmt in formats.available_formats():
+        if fmt == "crs":
+            continue
+        cfg = Config(format=fmt, dtype="float64", segment_width=128)
+        st = formats.convert(one, cfg)
+        y = np.asarray(jax.jit(formats.spmv_fn(cfg))(st, x))
+        np.testing.assert_allclose(y, want, rtol=1e-12, err_msg=fmt)
