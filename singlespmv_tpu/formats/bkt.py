@@ -227,8 +227,15 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
     rl_slot[slot] = rl[order]
     real[slot] = True
 
-    n_tiles = H // 8
-    cb_ids = ((np.arange(n_tiles) * 8 * LANES) // (NU_pad * S)).astype(np.int32)
+    # Stage-A tile width: widest W whose (8·W)-slot tiles never straddle a
+    # col-block (fewer grid steps, bigger vector ops per take_along_axis).
+    w_a = LANES
+    for cand in (1024, 512, 256):
+        if (NU_pad * S) % (8 * cand) == 0:
+            w_a = cand
+            break
+    n_tiles = N // (8 * w_a)
+    cb_ids = ((np.arange(n_tiles) * 8 * w_a) // (NU_pad * S)).astype(np.int32)
 
     # ---- stage-B layout -----------------------------------------------------
     # slot -> (cb, unit, seq) -> B position (brow, lane)
@@ -336,11 +343,11 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
         n_row=n_row, n_col=n_col, nnz=nnz, rb_pad=RB_pad, cb_pad=CB_pad,
         s=S, g=G, k=K, n_slots=N, overflow_nnz=over_coo.nnz,
         cb_ids=device_put(cb_ids),
-        col=device_put(col_a.reshape(H, LANES).astype(cfg.index_dtype)),
-        val=device_put(val_a.reshape(H, LANES)),
+        col=device_put(col_a.reshape(N // w_a, w_a).astype(cfg.index_dtype)),
+        val=device_put(val_a.reshape(N // w_a, w_a)),
         heads=device_put(heads_b.astype(np.int32)),
         idx=device_put(idx_full),
-        lo_a=device_put(rl_slot.reshape(H, LANES).astype(np.int32)),
+        lo_a=device_put(rl_slot.reshape(N // w_a, w_a).astype(np.int32)),
         overflow=overflow_state,
         balanced=balanced, src_lane=src_lane, src_chunk=src_chunk,
         row_group=RL,
