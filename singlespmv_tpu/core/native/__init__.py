@@ -150,3 +150,60 @@ def format_logs(text: str, extra_keys=None) -> Optional[str]:
         return ctypes.string_at(ptr).decode()
     finally:
         lib.spmv_free_text(ptr)
+
+
+# ---------------------------------------------------------------- factor ----
+
+def get_factor_lib() -> Optional[ctypes.CDLL]:
+    lib = _get_lib("_factor.so", "factor_native.cpp")
+    if lib is not None and not hasattr(lib, "_configured"):
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        for fn in (lib.spmv_ilu0, lib.spmv_ic0):
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_int64, i64p, i64p, f64p]
+        lib._configured = True
+    return lib
+
+
+def ilu0_csr(rp: np.ndarray, cols: np.ndarray, vals: np.ndarray):
+    """In-place native ILU(0) on CSR arrays; returns failing row or None if
+    the native library is unavailable; 0 on success."""
+    lib = get_factor_lib()
+    if lib is None:
+        return None
+    n = len(rp) - 1
+    rc = lib.spmv_ilu0(n, np.ascontiguousarray(rp, np.int64),
+                       np.ascontiguousarray(cols, np.int64), vals)
+    return int(rc)
+
+
+def ic0_csr(rp: np.ndarray, cols: np.ndarray, vals: np.ndarray):
+    """In-place native IC(0) on lower-triangular CSR arrays; see ilu0_csr."""
+    lib = get_factor_lib()
+    if lib is None:
+        return None
+    n = len(rp) - 1
+    rc = lib.spmv_ic0(n, np.ascontiguousarray(rp, np.int64),
+                      np.ascontiguousarray(cols, np.int64), vals)
+    return int(rc)
+
+
+def tri_levels(rp: np.ndarray, cols: np.ndarray, *, lower: bool):
+    """Native dependency-level computation for SpTRSV analysis; returns the
+    level array or None if the native library is unavailable."""
+    lib = get_factor_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_levels_configured"):
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.spmv_tri_levels.restype = ctypes.c_int64
+        lib.spmv_tri_levels.argtypes = [ctypes.c_int64, i64p, i64p,
+                                        ctypes.c_int64, i64p]
+        lib._levels_configured = True
+    n = len(rp) - 1
+    level = np.zeros(n, dtype=np.int64)
+    lib.spmv_tri_levels(n, np.ascontiguousarray(rp, np.int64),
+                        np.ascontiguousarray(cols, np.int64),
+                        1 if lower else 0, level)
+    return level

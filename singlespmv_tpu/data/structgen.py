@@ -1,0 +1,311 @@
+"""Structure-matched stand-ins for the 26-matrix natural suite.
+
+The reference benchmarks 26 SuiteSparse matrices downloaded at eval time
+(/root/reference/matrix/natural/download.sh:1-32).  This environment has no
+egress, so the suite is reproduced as *structure-matched synthetic matrices*:
+for each matrix, a recipe mixes the structural components its published spy
+plot / problem kind exhibits — FEM/CFD dense b×b block bands, 3-D stencil
+diagonal stripes, circuit diagonal+local+scatter mixes, power-net dense rows,
+power-law webs — at the published (n_row, n_col, nnz).  A pure power-law
+stand-in (round 1) erases exactly the locality that makes e.g. laminar_duct3D
+reach 24 GFLOPS on the reference CPU (BASELINE.md), so class-faithful structure
+is what keeps the per-matrix comparison honest in both directions.
+
+Shapes and structural classes follow the published SuiteSparse collection
+metadata (problem kind, dims, nnz, block size where documented); recipes are
+deterministic in (name, seed).
+"""
+from __future__ import annotations
+
+import zlib
+from typing import Callable, Dict
+
+import numpy as np
+
+from ..core.types import COOMatrix
+
+
+# --------------------------------------------------------- component builders
+
+def _diag(n: int) -> np.ndarray:
+    r = np.arange(n, dtype=np.int64)
+    return np.stack([r, r], axis=1)
+
+
+def _stencil(rng, n: int, offsets, fill: float = 1.0,
+             jitter: int = 0) -> np.ndarray:
+    """Diagonal stripes at the given offsets (3-D stencil / banded classes)."""
+    rs, cs = [], []
+    for off in offsets:
+        r = np.arange(max(0, -off), min(n, n - off), dtype=np.int64)
+        if fill < 1.0:
+            r = r[rng.random(r.size) < fill]
+        c = r + off
+        if jitter:
+            c = np.clip(c + rng.integers(-jitter, jitter + 1, r.size), 0,
+                        n - 1)
+        rs.append(r)
+        cs.append(c)
+    return np.stack([np.concatenate(rs), np.concatenate(cs)], axis=1)
+
+
+def _block_band(rng, n: int, b: int, nnz_target: int,
+                bw_blocks: int) -> np.ndarray:
+    """FEM/CFD-style dense b×b blocks: each block-row gets ~d block-columns
+    within ±bw_blocks of the diagonal (always including the diagonal block)."""
+    nb = max(1, n // b)
+    d = max(1, int(round(nnz_target / (nb * b * b))))
+    brow = np.repeat(np.arange(nb, dtype=np.int64), d)
+    off = rng.integers(-bw_blocks, bw_blocks + 1, brow.size)
+    off[::d] = 0                                   # diagonal block present
+    bcol = np.clip(brow + off, 0, nb - 1)
+    rr = (brow[:, None] * b + np.arange(b)).repeat(b, axis=1).reshape(-1)
+    cc = np.tile((bcol[:, None] * b + np.arange(b)), (1, b)).reshape(-1)
+    m = (rr < n) & (cc < n)
+    return np.stack([rr[m], cc[m]], axis=1)
+
+
+def _local_scatter(rng, n: int, nnz: int, width: int,
+                   rows: np.ndarray = None) -> np.ndarray:
+    """Entries near the diagonal: col = row + Laplace(width) (circuit/mesh
+    locality)."""
+    r = rng.integers(0, n, nnz) if rows is None else rows
+    d = rng.laplace(0.0, max(width, 1), r.size).astype(np.int64)
+    c = np.clip(r + d, 0, n - 1)
+    return np.stack([r, c], axis=1)
+
+
+def _uniform_scatter(rng, n: int, nnz: int, row_alpha: float = 0.0
+                     ) -> np.ndarray:
+    """Global scatter; row_alpha > 0 draws rows from a power-law (webs)."""
+    if row_alpha > 0:
+        w = np.arange(1, n + 1, dtype=np.float64) ** (-row_alpha)
+        w /= w.sum()
+        r = rng.choice(n, size=nnz, p=w)
+    else:
+        r = rng.integers(0, n, nnz)
+    c = rng.integers(0, n, nnz)
+    return np.stack([r, c], axis=1)
+
+
+def _dense_rows(rng, n: int, k: int, total_nnz: int) -> np.ndarray:
+    """k ultra-dense rows with uniformly scattered columns (power/ground nets,
+    spectral boundary rows)."""
+    per = max(1, total_nnz // max(k, 1))
+    rows = rng.choice(n, size=k, replace=False)
+    r = np.repeat(rows.astype(np.int64), per)
+    c = rng.integers(0, n, r.size)
+    return np.stack([r, c], axis=1)
+
+
+def _contig_runs(rng, n: int, nnz: int, run: int, width: int) -> np.ndarray:
+    """Rows made of short contiguous column runs near the diagonal (process /
+    Jacobian coupling blocks)."""
+    n_runs = max(1, nnz // run)
+    r = rng.integers(0, n, n_runs)
+    start = np.clip(r + rng.laplace(0, max(width, 1), n_runs).astype(np.int64),
+                    0, max(n - run, 1))
+    rr = np.repeat(r, run)
+    cc = (start[:, None] + np.arange(run)).reshape(-1)
+    m = cc < n
+    return np.stack([rr[m], cc[m]], axis=1)
+
+
+# ------------------------------------------------------------ recipe plumbing
+
+def _assemble(rng, n_row: int, n_col: int, nnz: int, parts) -> COOMatrix:
+    """Dedupe the stacked components and fit to the published nnz exactly:
+    excess entries are subsampled away (never the diagonal), shortfall is
+    topped up with non-colliding local scatter."""
+    pos = np.concatenate(parts, axis=0)
+    key = pos[:, 0] * n_col + pos[:, 1]
+    key = np.unique(key)
+    if key.size > nnz:
+        is_diag = (key // n_col) == (key % n_col)
+        diag_keys = key[is_diag]
+        rest = key[~is_diag]
+        take = nnz - diag_keys.size
+        if take <= 0:
+            key = rng.permutation(diag_keys)[:nnz]
+        else:
+            key = np.concatenate(
+                [diag_keys, rng.permutation(rest)[:take]])
+    tries = 0
+    while key.size < nnz and tries < 12:
+        need = nnz - key.size
+        extra = _local_scatter(rng, min(n_row, n_col),
+                               int(need * 1.3) + 16, width=n_col // 50 + 1)
+        ek = extra[:, 0] * n_col + extra[:, 1]
+        key = np.unique(np.concatenate([key, ek]))
+        tries += 1
+    if key.size > nnz:
+        key = np.sort(rng.permutation(key)[:nnz])
+    rows = key // n_col
+    cols = key % n_col
+    vals = rng.uniform(0.0, 1.0, rows.size)
+    return COOMatrix.from_triplets(n_row, n_col, rows, cols, vals, sort=True)
+
+
+# ------------------------------------------------------------------- recipes
+# Each entry: (n, nnz, builder(rng, n, nnz) -> list of position arrays).
+# Class notes cite the SuiteSparse problem kind the recipe models.
+
+def _r_circuit(local_frac=0.45, width_div=200, alpha=0.6):
+    """Circuit simulation: strong diagonal + near-diagonal coupling + global
+    nets, power-law-ish row degrees (ASIC_680ks, Freescale1, rajat31)."""
+    def build(rng, n, nnz):
+        rest = max(nnz - n, 0)
+        loc = int(rest * local_frac)
+        return [_diag(n),
+                _local_scatter(rng, n, loc, max(4, n // width_div)),
+                _uniform_scatter(rng, n, rest - loc, row_alpha=alpha)]
+    return build
+
+
+def _r_circuit_dense_rows(k_rows, dense_frac, local_frac=0.5, width_div=400):
+    """Circuit with ultra-dense power/ground rows (FullChip, circuit5M)."""
+    def build(rng, n, nnz):
+        dn = int(nnz * dense_frac)
+        rest = max(nnz - n - dn, 0)
+        loc = int(rest * local_frac)
+        return [_diag(n), _dense_rows(rng, n, k_rows, dn),
+                _local_scatter(rng, n, loc, max(4, n // width_div)),
+                _uniform_scatter(rng, n, rest - loc, row_alpha=0.5)]
+    return build
+
+
+def _r_block_fem(b, bw_div=60):
+    """FEM/CFD with dense b×b blocks in a block band (raefsky3 b=8, RM07R
+    b=7, PR02R b=5, ML_Geer/sme3Dc/laminar_duct3D small b)."""
+    def build(rng, n, nnz):
+        bw = max(2, n // b // bw_div)
+        return [_diag(n), _block_band(rng, n, b, nnz - n, bw)]
+    return build
+
+
+def _r_stencil_3d(jitter=0, fill=0.97):
+    """3-D mesh stencils: diagonal stripes at ±1, ±nx, ±nx·ny with harmonics
+    (stomach, cage15, xenon2, thermomech_dK)."""
+    def build(rng, n, nnz):
+        nx = max(2, int(round(n ** (1.0 / 3.0))))
+        per_side = max(1, (nnz // 2 - n) // max(n, 1))
+        base = [1, 2, nx - 1, nx, nx + 1, nx * nx - nx, nx * nx,
+                nx * nx + nx, 2 * nx * nx]
+        offs = []
+        for o in base[:max(per_side, 2)] + base[: max(0, per_side - len(base))]:
+            offs += [o, -o]
+        parts = [_diag(n), _stencil(rng, n, offs, fill=fill, jitter=jitter)]
+        return parts
+    return build
+
+
+def _r_stripes(n_stripes, run=3, local_frac=0.35):
+    """Multiple shifted diagonal stripes + short runs (Hamrle3, twotone,
+    g7jac200sc economic Jacobian block-coupling)."""
+    def build(rng, n, nnz):
+        rest = max(nnz - n, 0)
+        stripe_nnz = rest // 2
+        offs = [int(o) for o in
+                rng.integers(1, max(2, n - 1), n_stripes)] or [1]
+        fill = min(1.0, stripe_nnz / max(len(offs) * n, 1))
+        loc = int(rest * local_frac)
+        return [_diag(n), _stencil(rng, n, offs, fill=fill),
+                _contig_runs(rng, n, rest - stripe_nnz - loc, run,
+                             max(8, n // 100)),
+                _local_scatter(rng, n, loc, max(4, n // 150))]
+    return build
+
+
+def _r_dense_blocks(b):
+    """Near-dense diagonal blocks (TSOPF power-flow snapshot rows)."""
+    def build(rng, n, nnz):
+        return [_diag(n), _block_band(rng, n, b, nnz - n, 1)]
+    return build
+
+
+def _r_spectral(k_dense=8, band=40):
+    """Spectral integration: banded body + a few full rows (Chebyshev4)."""
+    def build(rng, n, nnz):
+        dn = min(nnz // 3, k_dense * n)
+        body = nnz - dn - n
+        width = max(1, body // (2 * n))
+        offs = [o for i in range(1, width + 1) for o in (i, -i)]
+        return [_diag(n), _dense_rows(rng, n, k_dense, dn),
+                _stencil(rng, n, offs, fill=min(1.0, body / max(len(offs) * n, 1)))]
+    return build
+
+
+def _r_web(alpha=1.2):
+    """Power-law web graph (webbase-1M)."""
+    def build(rng, n, nnz):
+        return [_diag(n), _uniform_scatter(rng, n, max(nnz - n, 0),
+                                           row_alpha=alpha)]
+    return build
+
+
+def _r_irregular_runs(run, width_div=80, scatter_frac=0.3):
+    """Irregular coupling with contiguous runs (lhr34, para-4, mac_econ)."""
+    def build(rng, n, nnz):
+        rest = max(nnz - n, 0)
+        sc = int(rest * scatter_frac)
+        return [_diag(n),
+                _contig_runs(rng, n, rest - sc, run, max(8, n // width_div)),
+                _uniform_scatter(rng, n, sc, row_alpha=0.4)]
+    return build
+
+
+def _r_torso():
+    """torso1: 3-D EM mesh body + a heavy tail of long rows (max ≈ 3.2k)."""
+    def build(rng, n, nnz):
+        heavy = nnz // 5
+        k = max(1, heavy // 1500)
+        return [_diag(n), _dense_rows(rng, n, k, heavy),
+                _stencil(rng, n, [1, -1, 2, -2], jitter=0),
+                _contig_runs(rng, n, nnz - heavy - 5 * n, 8,
+                             max(8, n // 60))]
+    return build
+
+
+RECIPES: Dict[str, tuple] = {
+    # name: (n, nnz, builder) — shapes from the published collection metadata.
+    "ASIC_680ks":        (682712, 1693767, _r_circuit(0.45, 300, 0.7)),
+    "Chebyshev4":        (68121, 5377761, _r_spectral(8, 40)),
+    "Freescale1":        (3428755, 17052626, _r_circuit(0.55, 500, 0.5)),
+    "FullChip":          (2987012, 26621983, _r_circuit_dense_rows(12, 0.35)),
+    "Hamrle3":           (1447360, 5514242, _r_stripes(3, run=2)),
+    "ML_Geer":           (1504002, 110686677, _r_block_fem(4, bw_div=200)),
+    "PR02R":             (161070, 8185136, _r_block_fem(5, bw_div=80)),
+    "RM07R":             (381689, 37464962, _r_block_fem(7, bw_div=80)),
+    "TSOPF_RS_b2383_c1": (38120, 16171169, _r_dense_blocks(424)),
+    "cage15":            (5154859, 99199551, _r_stencil_3d(jitter=2)),
+    "circuit5M":         (5558326, 59524291, _r_circuit_dense_rows(10, 0.25)),
+    "g7jac200sc":        (59310, 717620, _r_stripes(8, run=4)),
+    "laminar_duct3D":    (67173, 3788857, _r_block_fem(4, bw_div=120)),
+    "lhr34":             (35152, 764014, _r_irregular_runs(4, 60)),
+    "mac_econ_fwd500":   (206500, 1273389, _r_irregular_runs(2, 40, 0.5)),
+    "ohne2":             (181343, 11063545, _r_block_fem(4, bw_div=100)),
+    "para-4":            (153226, 5326228, _r_block_fem(4, bw_div=50)),
+    "raefsky3":          (21200, 1488768, _r_block_fem(8, bw_div=40)),
+    "rajat31":           (4690002, 20316253, _r_circuit(0.6, 800, 0.4)),
+    "sme3Dc":            (42930, 3148656, _r_block_fem(3, bw_div=60)),
+    "stomach":           (213360, 3021648, _r_stencil_3d(jitter=1)),
+    "thermomech_dK":     (204316, 2846228, _r_stencil_3d(jitter=40, fill=0.8)),
+    "torso1":            (116158, 8516500, _r_torso()),
+    "twotone":           (120750, 1206265, _r_stripes(5, run=2, local_frac=0.4)),
+    "webbase-1M":        (1000005, 3105536, _r_web(1.2)),
+    "xenon2":            (157464, 3866688, _r_stencil_3d(jitter=3)),
+}
+
+
+def synthesize_structured(name: str, *, seed: int = 0) -> COOMatrix:
+    """Build the structure-matched stand-in for a suite matrix."""
+    if name not in RECIPES:
+        raise KeyError(f"no structural recipe for {name!r}")
+    n, nnz, builder = RECIPES[name]
+    rng = np.random.default_rng(seed + zlib.crc32(name.encode()) % 100000)
+    parts = builder(rng, n, nnz)
+    return _assemble(rng, n, n, nnz, parts)
+
+
+def suite_names():
+    return sorted(RECIPES)

@@ -32,21 +32,11 @@ NATURAL_SUITE = [
 MIRROR = "https://suitesparse-collection-website.herokuapp.com/MM"
 
 # (n_row, n_col, nnz) from the SuiteSparse collection — used by synthesize().
+# All 26 suite matrices carry a structural recipe in data.structgen.RECIPES.
+from .structgen import RECIPES as _RECIPES  # noqa: E402
+
 PUBLISHED_SHAPES: Dict[str, tuple] = {
-    "ASIC_680ks": (682712, 682712, 1693767),
-    "Chebyshev4": (68121, 68121, 5377761),
-    "Freescale1": (3428755, 3428755, 17052626),
-    "mac_econ_fwd500": (206500, 206500, 1273389),
-    "raefsky3": (21200, 21200, 1488768),
-    "stomach": (213360, 213360, 3021648),
-    "torso1": (116158, 116158, 8516500),
-    "twotone": (120750, 120750, 1206265),
-    "webbase-1M": (1000005, 1000005, 3105536),
-    "g7jac200sc": (59310, 59310, 717620),
-    "lhr34": (35152, 35152, 764014),
-    "sme3Dc": (42930, 42930, 3148656),
-    "thermomech_dK": (204316, 204316, 2846228),
-    "xenon2": (157464, 157464, 3866688),
+    name: (n, n, nnz) for name, (n, nnz, _) in _RECIPES.items()
 }
 
 
@@ -100,12 +90,25 @@ def ensure_suite(dest_dir: str, *, download: bool = True,
     return status
 
 
-def synthesize(name: str, *, seed: int = 0):
-    """Statistically similar stand-in for a suite matrix (shape + nnz matched,
-    power-law row distribution) for egress-less perf work."""
+def synthesize(name: str, *, seed: int = 0, structured: bool = True):
+    """Stand-in for a suite matrix for egress-less perf work.
+
+    ``structured=True`` (default) builds the structure-matched stand-in from
+    data.structgen (FEM block bands, stencils, circuit mixes... per the
+    matrix's published problem class); ``structured=False`` keeps the round-1
+    shape+nnz-matched pure power-law (erases locality — the hardest case).
+    """
+    import zlib
+
     from .generators import powerlaw
 
+    if structured:
+        from .structgen import synthesize_structured
+
+        return synthesize_structured(name, seed=seed)
     if name not in PUBLISHED_SHAPES:
         raise KeyError(f"no published shape for {name!r}")
     n_row, n_col, nnz = PUBLISHED_SHAPES[name]
-    return powerlaw(n_row, nnz, seed=seed + hash(name) % 1000)
+    # crc32, not hash(): str hash is salted per process (PYTHONHASHSEED), and
+    # the stand-ins behind committed suite numbers must be reproducible.
+    return powerlaw(n_row, nnz, seed=seed + zlib.crc32(name.encode()) % 1000)

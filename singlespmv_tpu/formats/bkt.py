@@ -36,6 +36,23 @@ def k_cap(g: int, floor: int = 4) -> int:
     return max(floor, min(K_MAX, IDX_VMEM_BUDGET // (8 * g * 128 * 4)))
 
 
+def balance_map(rows: np.ndarray, RB: int) -> np.ndarray:
+    """Lane-preserving balance permutation: per lo class, deal rows (heaviest
+    first) to the least-loaded row-block.  Returns (RB, 128) new_rb_of.
+    Shared by convert() and estimate() — the estimate MUST model the balanced
+    bucket depths or it overstates S by the row-skew factor (round-2 fix:
+    the planner was rejecting bkt_g on matrices convert handles at pad ≈ 2)."""
+    w = np.bincount(rows, minlength=RB * LANES).reshape(RB, LANES)
+    new_rb_of = np.empty((RB, LANES), dtype=np.int64)
+    loads = np.zeros(RB, dtype=np.int64)
+    for cls in range(LANES):          # greedy: heaviest → least-loaded rb
+        order_desc = np.argsort(-w[:, cls], kind="stable")
+        targets = np.argsort(loads, kind="stable")
+        new_rb_of[order_desc, cls] = targets
+        loads[targets] += w[order_desc, cls]
+    return new_rb_of
+
+
 def estimate(coo: COOMatrix, cfg: Config) -> dict:
     """Cheap convert-free plan: slots / S / overflow — used by formats.auto.
 
@@ -49,9 +66,12 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
     CB = cdiv(max(coo.n_col, 1), LANES)
     NU = cdiv(RB, ru)
     if coo.nnz:
+        rows = coo.row.astype(np.int64)
+        rb = rows // LANES
+        if bool(cfg.bkt_balance) and RB <= 2048:
+            rb = balance_map(rows, RB)[rb, rows % LANES]
         counts0 = np.bincount((coo.col.astype(np.int64) // LANES) * NU
-                              + coo.row.astype(np.int64) // (ru * LANES),
-                              minlength=CB * NU)
+                              + rb // ru, minlength=CB * NU)
     else:
         counts0 = np.zeros(1, dtype=np.int64)
     nz = counts0[counts0 > 0]
@@ -132,14 +152,7 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
     balanced = bool(cfg.bkt_balance) and RB <= 2048 and nnz > 0
     new_rb_of = None
     if balanced:
-        w = np.bincount(rows, minlength=RB * LANES).reshape(RB, LANES)
-        new_rb_of = np.empty((RB, LANES), dtype=np.int64)
-        loads = np.zeros(RB, dtype=np.int64)
-        for cls in range(LANES):          # greedy: heaviest → least-loaded rb
-            order_desc = np.argsort(-w[:, cls], kind="stable")
-            targets = np.argsort(loads, kind="stable")
-            new_rb_of[order_desc, cls] = targets
-            loads[targets] += w[order_desc, cls]
+        new_rb_of = balance_map(rows, RB)
         rb = new_rb_of[rb, lo]
 
     ub = rb // ru                                  # bucket row-unit index

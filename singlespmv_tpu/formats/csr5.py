@@ -68,9 +68,6 @@ class CSR5State:
     rank_rows: object
 
 
-_LAST_CONVERT_MS = {}   # id(state) -> (malloc, tile_ptr, tile_desc, upload) ms
-
-
 def convert(coo: COOMatrix, cfg: Config) -> CSR5State:
     from ..core.timing import now
 
@@ -147,11 +144,15 @@ def convert(coo: COOMatrix, cfg: Config) -> CSR5State:
     import jax
 
     jax.block_until_ready(state)
-    # asCSR5 phase breakdown (anonymouslib_avx2.h:207-210).  Kept OUTSIDE the
-    # pytree (timings as static metadata would defeat the jit cache).
-    _LAST_CONVERT_MS[id(state)] = (
+    # asCSR5 phase breakdown (anonymouslib_avx2.h:207-210).  Stored as a
+    # non-field attribute on the instance (frozen-dataclass bypass): it stays
+    # out of the pytree (timings as static metadata would defeat the jit
+    # cache), dies with the state (no global side table to leak or to attach
+    # a recycled id's timings to the wrong state), and report_fields reads it
+    # off the same host object convert returned.
+    object.__setattr__(state, "_convert_ms", (
         round((t_alloc - t0) * 1e3, 3), round((t_ptr - t_alloc) * 1e3, 3),
-        round((t_desc - t_ptr) * 1e3, 3), round((now() - t_desc) * 1e3, 3))
+        round((t_desc - t_ptr) * 1e3, 3), round((now() - t_desc) * 1e3, 3)))
     return state
 
 
@@ -186,7 +187,7 @@ def report_fields(state: CSR5State, cfg: Config) -> dict:
         "nFastTile": state.n_fast, "nNormalTile": state.n_normal,
         "R_max": state.r_max,
     }
-    ms = _LAST_CONVERT_MS.get(id(state))
+    ms = getattr(state, "_convert_ms", None)
     if ms:
         for name, v in zip(("malloc", "tile_ptr", "tile_desc", "transpose"), ms):
             out[f"Convert-{name}(ms)"] = v

@@ -152,6 +152,8 @@ def spmv_scan_phase(state: CSSState, x):
 
 
 traffic_bytes = ss.traffic_bytes
+step_init = ss.step_init      # MEASURE_STEP_TIME shares the SS tree levels
+step_fns = ss.step_fns
 
 
 def report_fields(state: CSSState, cfg: Config) -> dict:

@@ -147,6 +147,41 @@ def phases(state: SSState):
     return {"Mul": mul, "Sum1": scan, "Sum2": reduce}
 
 
+def step_init(state: SSState, x):
+    """Packed (2, H, W) carry [values; head flags] for per-step timing."""
+    import jax.numpy as jnp
+
+    prod = mul(state, x)
+    return jnp.stack([prod, state.heads.astype(prod.dtype)])
+
+
+def step_fns(state: SSState):
+    """One jittable fn per scan tree level — the MEASURE_STEP_TIME analog
+    (reference per-step loop /root/reference/src/opt_ss.cpp:244-259, report
+    rows src/main.cpp:163-167).  Step i applies the distance-2^i
+    segmented-scan shift-add to the packed carry from step i-1."""
+    import jax.numpy as jnp
+
+    def make(d):
+        def step(st, vf):
+            v, f = vf[0], vf[1]
+            vz = jnp.concatenate([jnp.zeros_like(v[:, :d]), v[:, :-d]], axis=1)
+            fz = jnp.concatenate([jnp.ones_like(f[:, :d]), f[:, :-d]], axis=1)
+            v2 = jnp.where(f > 0, v, v + vz)
+            f2 = jnp.maximum(f, fz)
+            return jnp.stack([v2, f2])
+
+        return step
+
+    steps = []
+    d, i = 1, 0
+    while d < state.w:
+        steps.append((f"{i:02d}", make(d)))
+        d *= 2
+        i += 1
+    return steps
+
+
 def report_fields(state: SSState, cfg: Config) -> dict:
     vsz = np.dtype(cfg.dtype).itemsize
     out = {"nStep": state.n_step, "SEGMENT_WIDTH(byte)": state.w * vsz,

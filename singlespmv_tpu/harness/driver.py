@@ -57,6 +57,21 @@ def _architecture() -> str:
     )
 
 
+def sync(out):
+    """Force device completion and return a scalar of the result.
+
+    ``jax.block_until_ready`` through the axon device tunnel returns on
+    dispatch, not completion (measured round 2: wall time flat vs chained loop
+    count, while a value readback scales linearly) — so every timed section
+    syncs on a one-element readback.  The marginal-differencing methodology
+    cancels the readback's fixed cost exactly.
+    """
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jax.device_get(leaf.reshape(-1)[0]).real)
+
+
 def make_chained_runner(fn, arg_template):
     """Jitted ``run_n(state, arg, n)``: apply fn n times ON DEVICE.
 
@@ -122,7 +137,8 @@ def run_benchmark(
 
     spmv = jax.jit(formats.spmv_fn(cfg))
     t0 = now()
-    y = jax.block_until_ready(spmv(state, xd))
+    y = spmv(state, xd)
+    sync(y)
     compile_s = now() - t0
 
     # --- verify twice (main.cpp:40-56; catches operand-corrupting converts) ---
@@ -138,14 +154,14 @@ def run_benchmark(
 
     # --- calibration: double loop until a trial takes >= calibrate_seconds ---
     run_n = make_chained_runner(formats.spmv_fn(cfg), xd)
-    jax.block_until_ready(run_n(state, xd, 1))  # compile the chained runner
+    sync(run_n(state, xd, 1))  # compile the chained runner
     if quick:
         loop, n_trials = 3, 1
     else:
         loop, n_trials = 1, cfg.n_trials
         while loop < cfg.max_loop:
             t0 = now()
-            jax.block_until_ready(run_n(state, xd, loop))
+            sync(run_n(state, xd, loop))
             dt = now() - t0
             if dt >= cfg.calibrate_seconds:
                 break
@@ -164,9 +180,9 @@ def run_benchmark(
             if loop >= 8:
                 half = loop // 2
                 t0 = now()
-                jax.block_until_ready(run_n(state, xd, half))
+                sync(run_n(state, xd, half))
                 t1 = now()
-                jax.block_until_ready(run_n(state, xd, loop))
+                sync(run_n(state, xd, loop))
                 t2 = now()
                 margin = (t2 - t1) - (t1 - t0)
                 if margin > 0:
@@ -177,7 +193,7 @@ def run_benchmark(
                     per = (t2 - t0) / (loop + half)
             else:
                 t0 = now()
-                jax.block_until_ready(run_n(state, xd, loop))
+                sync(run_n(state, xd, loop))
                 per = (now() - t0) / loop
             best = min(best, per)
 
@@ -196,10 +212,44 @@ def run_benchmark(
         for pname, fn in ph.items():
             arg = inputs[pname]
             runner = make_chained_runner(fn, arg)
-            jax.block_until_ready(runner(state, arg, 1))
-            t0 = now()
-            jax.block_until_ready(runner(state, arg, loop))
-            phase_perf[pname] = (now() - t0) / loop
+            sync(runner(state, arg, 1))
+            if loop >= 8:
+                half = loop // 2
+                t0 = now()
+                sync(runner(state, arg, half))
+                t1 = now()
+                sync(runner(state, arg, loop))
+                t2 = now()
+                margin = (t2 - t1) - (t1 - t0)
+                phase_perf[pname] = (margin / (loop - half) if margin > 0
+                                     else (t2 - t0) / (loop + half))
+            else:
+                t0 = now()
+                sync(runner(state, arg, loop))
+                phase_perf[pname] = (now() - t0) / loop
+
+    # --- per-tree-step timing (-DMEASURE_STEP_TIME; opt_ss.cpp:244-259) ---
+    step_perf = {}
+    if cfg.measure_step_time:
+        mod = formats.get_format(cfg.format)
+        sfns = getattr(mod, "step_fns", None)
+        sinit = getattr(mod, "step_init", None)
+        if sfns and sinit:
+            vf = jax.block_until_ready(jax.jit(sinit)(state, xd))
+            step_loop = max(loop, 8)
+            for sname, fn in sfns(state):
+                runner = make_chained_runner(fn, vf)
+                sync(runner(state, vf, 1))
+                half = step_loop // 2
+                t0 = now()
+                sync(runner(state, vf, half))
+                t1 = now()
+                sync(runner(state, vf, step_loop))
+                t2 = now()
+                margin = (t2 - t1) - (t1 - t0)
+                step_perf[sname] = (margin / (step_loop - half) if margin > 0
+                                    else (t2 - t0) / (step_loop + half))
+                vf = jax.jit(fn)(state, vf)
 
     chip = detect_chip()
     traffic = formats.traffic_bytes(state, cfg)
@@ -232,6 +282,8 @@ def run_benchmark(
             report["SumPerf"] = flops / sum_s / 1e9 / 2
         for pname, sec in phase_perf.items():
             report[f"PhaseTime-{pname}(s)"] = sec
+    for sname, sec in step_perf.items():
+        report[f"StepTime-{sname}"] = sec     # src/main.cpp:163-167 schema
     report.update(roof)
     report.update({
         "OptimizeTime(s)": optimize_s,

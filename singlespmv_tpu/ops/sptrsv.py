@@ -43,33 +43,49 @@ def analyze(coo: COOMatrix, cfg: Config = None, *, lower: bool = True) -> TriSol
     dmask = coo.col == coo.row
     diag = np.ones(n, dtype=np.float64)
     diag[coo.row[dmask]] = coo.val[dmask]
+    has_diag = np.zeros(n, dtype=bool)
+    has_diag[coo.row[dmask]] = True
+    if not has_diag.all():
+        missing = int(n - has_diag.sum())
+        raise ValueError(
+            f"triangular matrix has {missing} row(s) with no stored diagonal "
+            "entry — store an explicit diagonal (unit-diagonal factors must "
+            "store their 1.0s, as ops.ilu does)")
     if np.any(diag == 0):
         raise ValueError("singular triangular matrix (zero diagonal)")
 
     orow, ocol, oval = coo.row[off], coo.col[off], coo.val[off]
-    # Dependency levels, computed row-by-row in topological (row) order.
-    level = np.zeros(n, dtype=np.int64)
+    # Dependency levels: level[r] = 1 + max level over r's off-diag columns,
+    # computed in topological (row) order — native C++ pass when available
+    # (core/native/factor_native.cpp), python fallback otherwise.
     rp = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(np.bincount(orow, minlength=n), out=rp[1:])
-    order = np.arange(n) if lower else np.arange(n)[::-1]
-    for r in order:
-        deps = ocol[rp[r]: rp[r + 1]]
-        if deps.size:
-            level[r] = level[deps].max() + 1
+
+    from ..core import native
+
+    level = native.tri_levels(rp, ocol.astype(np.int64), lower=lower)
+    if level is None:
+        level = np.zeros(n, dtype=np.int64)
+        order = np.arange(n) if lower else np.arange(n)[::-1]
+        for r in order:
+            deps = ocol[rp[r]: rp[r + 1]]
+            if deps.size:
+                level[r] = level[deps].max() + 1
     n_levels = int(level.max(initial=0)) + 1
 
     counts = np.bincount(level, minlength=n_levels)
     rows_per = max(1, int(counts.max(initial=1)))
     k = max(1, int(np.bincount(orow, minlength=n).max(initial=1)))
 
+    # Vectorized level packing: rows grouped by level (stable ⇒ ascending row
+    # within a level), pos_of = index within the level.
+    order2 = np.argsort(level, kind="stable")
+    starts = np.zeros(n_levels, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    pos_of = np.empty(n, dtype=np.int64)
+    pos_of[order2] = np.arange(n) - starts[level[order2]]
     level_rows = np.full((n_levels, rows_per), n, dtype=np.int64)
-    slot = np.zeros(n_levels, dtype=np.int64)
-    pos_of = np.zeros(n, dtype=np.int64)
-    for r in range(n):
-        lv = level[r]
-        pos_of[r] = slot[lv]
-        level_rows[lv, slot[lv]] = r
-        slot[lv] += 1
+    level_rows[level, pos_of] = np.arange(n)
 
     col = np.zeros((n_levels, rows_per, k), dtype=np.int64)
     val = np.zeros((n_levels, rows_per, k), dtype=np.float64)

@@ -7,6 +7,8 @@ remote segments exchanged with XLA collectives (``all_gather`` / ``psum``) insid
 ``shard_map``, riding ICI on real hardware.
 """
 from .mesh import make_mesh, device_count
+from .halo import HaloSpMV
 from .spmv import DistSpMV, partition_rows_balanced
 
-__all__ = ["make_mesh", "device_count", "DistSpMV", "partition_rows_balanced"]
+__all__ = ["make_mesh", "device_count", "DistSpMV", "HaloSpMV",
+           "partition_rows_balanced"]

@@ -22,6 +22,7 @@ import numpy as np
 from ..config import Config
 from ..core.rng import create_random_vector
 from ..core.timing import now
+from .halo import HaloSpMV
 from .mesh import device_count, make_mesh
 from .spmv import DistSpMV
 
@@ -58,17 +59,27 @@ def mesh_sizes(limit: Optional[int] = None) -> List[int]:
     return sizes
 
 
+def _convert(coo, cfg, mesh, *, halo: bool):
+    if halo:
+        return HaloSpMV.convert(coo, cfg, mesh)
+    return DistSpMV.convert(coo, cfg, mesh, col_axis=None)
+
+
 def weak_scaling(make_matrix: Callable[[int], "COOMatrix"],
                  cfg: Optional[Config] = None, *, loop: int = 8,
-                 limit: Optional[int] = None) -> List[ScalePoint]:
-    """make_matrix(n_devices) -> COOMatrix sized ∝ n_devices."""
+                 limit: Optional[int] = None,
+                 halo: bool = False) -> List[ScalePoint]:
+    """make_matrix(n_devices) -> COOMatrix sized ∝ n_devices.
+
+    ``halo=True`` uses the halo-exchange/overlap operator (parallel.halo)
+    instead of the all-gather DistSpMV."""
     cfg = cfg or Config(format="ss", dtype="float32", segment_width=512)
     points: List[ScalePoint] = []
     base_rate = None
     for n in mesh_sizes(limit):
         coo = make_matrix(n)
         mesh = make_mesh((("row", n),))
-        op = DistSpMV.convert(coo, cfg, mesh, col_axis=None)
+        op = _convert(coo, cfg, mesh, halo=halo)
         x = create_random_vector(coo.n_col).astype(cfg.np_dtype)
         sec = _time_op(op, x, loop=loop)
         rate = coo.nnz / sec
@@ -80,13 +91,14 @@ def weak_scaling(make_matrix: Callable[[int], "COOMatrix"],
 
 
 def strong_scaling(coo, cfg: Optional[Config] = None, *, loop: int = 8,
-                   limit: Optional[int] = None) -> List[ScalePoint]:
+                   limit: Optional[int] = None,
+                   halo: bool = False) -> List[ScalePoint]:
     cfg = cfg or Config(format="ss", dtype="float32", segment_width=512)
     points: List[ScalePoint] = []
     base_rate = None
     for n in mesh_sizes(limit):
         mesh = make_mesh((("row", n),))
-        op = DistSpMV.convert(coo, cfg, mesh, col_axis=None)
+        op = _convert(coo, cfg, mesh, halo=halo)
         x = create_random_vector(coo.n_col).astype(cfg.np_dtype)
         sec = _time_op(op, x, loop=loop)
         rate = coo.nnz / sec

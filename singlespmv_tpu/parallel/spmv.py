@@ -144,7 +144,11 @@ class DistSpMV:
         def stack(field):
             return np.stack([np.asarray(getattr(st, field)) for st in states])
 
-        grid_spec = P((row_axis, col_axis)) if col_axis and C >= 1 else P(row_axis)
+        # Only reference col_axis in the spec when the mesh actually has it
+        # (same guard as _build) — a 1-D row mesh with the default col_axis
+        # must degrade to P(row_axis), not device_put onto a ghost axis.
+        grid_spec = P((row_axis, col_axis)) \
+            if (col_axis and col_axis in mesh.axis_names) else P(row_axis)
         def put(a, spec):
             return jax.device_put(a, NamedSharding(mesh, spec))
 

@@ -138,3 +138,81 @@ def test_k_cap_overflow_path():
     np.testing.assert_array_equal(back.row, coo.row)
     np.testing.assert_array_equal(back.col, coo.col)
     np.testing.assert_allclose(back.val, coo.val)
+
+
+BKT_G_CASES = [
+    # grouped mode needs G >= 8 (wide enough matrices); cover the suite's
+    # hyper-sparse profile (many rows, few nnz/row), plain power-law, banded
+    # locality, and a rectangular case.
+    ("powerlaw", lambda: powerlaw(4096, 40000, seed=11)),
+    ("hyper", lambda: powerlaw(12000, 50000, seed=12)),
+    ("band", lambda: generate("band", 4096, 6, seed=13)),
+    ("rect", lambda: _rect_wide()),
+]
+
+
+def _rect_wide(seed=14):
+    rng = np.random.default_rng(seed)
+    return COOMatrix.from_triplets(
+        3000, 4096, rng.integers(0, 3000, 50000),
+        rng.integers(0, 4096, 50000), rng.uniform(-1, 1, 50000),
+        sum_duplicates=True)
+
+
+class TestBKTGrouped:
+    """Dedicated coverage of the grouped (bkt_row_group=1024) mode — the
+    format the auto planner picks for the hyper-sparse suite class."""
+
+    @pytest.mark.parametrize("name,make", BKT_G_CASES,
+                             ids=[c[0] for c in BKT_G_CASES])
+    def test_spmv_and_roundtrip(self, name, make):
+        import jax
+
+        coo = make()
+        cfg = F64.replace(format="bkt", bkt_row_group=1024)
+        st = formats.convert(coo, cfg)
+        assert st.row_group == 1024
+        x = create_random_vector(coo.n_col)
+        y = np.asarray(jax.jit(formats.spmv_fn(cfg))(st, x))
+        ok, det = verify_result(coo, x, y, dtype=np.float64)
+        assert ok, det
+        back = formats.to_coo(st, cfg)
+        np.testing.assert_allclose(back.to_dense(), coo.to_dense())
+
+    def test_k_cap_overflow(self):
+        """Chains past the grouped-mode VMEM idx cap must overflow to BSR and
+        still verify end-to-end + round-trip.
+
+        Construction: every (col-chunk, row-unit) bucket holds 16 entries of
+        the SAME row-local class (rl = 0), so each stage-B sublane carries
+        8 runs all routed to one bin — more than the VMEM-aware k_cap at
+        this G — forcing the chain-overflow path.
+        """
+        import jax
+
+        from singlespmv_tpu.formats import bkt as bkt_mod
+
+        n_units, n_cb, per = 64, 1536, 2
+        n_row, n_col = n_units * 1024, n_cb * 128
+        rows = np.repeat(np.arange(n_units) * 1024, n_cb * per)
+        cols = np.tile(
+            (np.arange(n_cb)[:, None] * 128 + np.arange(per)).reshape(-1),
+            n_units)
+        vals = np.linspace(0.5, 1.5, rows.size)
+        coo = COOMatrix.from_triplets(n_row, n_col, rows, cols, vals,
+                                      sum_duplicates=True)
+        cfg = F64.replace(format="bkt", bkt_row_group=1024,
+                          bkt_balance=False)
+        st = formats.convert(coo, cfg)
+        assert st.k <= bkt_mod.K_MAX
+        assert st.overflow_nnz > 0
+        x = create_random_vector(coo.n_col)
+        y = np.asarray(jax.jit(formats.spmv_fn(cfg))(st, x))
+        ok, det = verify_result(coo, x, y, dtype=np.float64)
+        assert ok, det
+        back = formats.to_coo(st, cfg)
+        # triplet compare — dense would be 65k x 196k = 100 GB
+        assert back.nnz == coo.nnz
+        np.testing.assert_array_equal(back.row, coo.row)
+        np.testing.assert_array_equal(back.col, coo.col)
+        np.testing.assert_allclose(back.val, coo.val)

@@ -152,3 +152,23 @@ def test_single_element_all_formats():
         st = formats.convert(one, cfg)
         y = np.asarray(jax.jit(formats.spmv_fn(cfg))(st, x))
         np.testing.assert_allclose(y, want, rtol=1e-12, err_msg=fmt)
+
+
+def test_csr5_convert_timings_on_instance():
+    """Convert-phase timings live on the state instance (no global id-keyed
+    side table that grows across sweeps or mixes up recycled ids)."""
+    from singlespmv_tpu import formats
+    from singlespmv_tpu.config import Config
+    from singlespmv_tpu.data.generators import powerlaw
+    from singlespmv_tpu.formats import csr5 as csr5_mod
+
+    assert not hasattr(csr5_mod, "_LAST_CONVERT_MS")
+    cfg = Config(format="csr5", dtype="float64")
+    states = [formats.convert(powerlaw(128, 1500, seed=s), cfg)
+              for s in range(3)]
+    for st in states:
+        fields = formats.report_fields(st, cfg)
+        assert "Convert-malloc(ms)" in fields
+        assert "Convert-transpose(ms)" in fields
+    # timings are per-instance and distinct objects
+    assert states[0]._convert_ms is not states[1]._convert_ms

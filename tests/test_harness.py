@@ -161,3 +161,19 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(len(jax.devices()))
+
+
+def test_measure_step_time_rows():
+    """cfg.measure_step_time must produce StepTime-NN rows for the scan
+    formats (reference -DMEASURE_STEP_TIME, src/main.cpp:163-167)."""
+    from singlespmv_tpu.config import Config
+    from singlespmv_tpu.data.generators import powerlaw
+    from singlespmv_tpu.harness.driver import run_benchmark
+
+    cfg = Config(format="ss", dtype="float64", segment_width=256,
+                 measure_step_time=True)
+    res = run_benchmark(powerlaw(200, 3000, seed=5), cfg, quick=True,
+                        log=lambda m: None)
+    keys = [k for k in res.report if k.startswith("StepTime-")]
+    assert keys == [f"StepTime-{i:02d}" for i in range(res.report["nStep"])]
+    assert all(res.report[k] >= 0 for k in keys)

@@ -7,6 +7,7 @@ from singlespmv_tpu.core.oracle import reference_spmv
 from singlespmv_tpu.core.rng import create_random_vector
 from singlespmv_tpu.data.fixtures import fixture_10x10
 from singlespmv_tpu.data.generators import generate, powerlaw
+from singlespmv_tpu.core.oracle import verify_result
 from singlespmv_tpu.parallel import DistSpMV, make_mesh, partition_rows_balanced
 from singlespmv_tpu.parallel.spmv import partition_rows_balanced as prb
 
@@ -89,3 +90,65 @@ class TestDistSpMM:
         X = create_random_matrix(coo.n_col, 4, seed=3)
         Y = np.asarray(op.spmm(X))
         np.testing.assert_allclose(Y, coo.to_dense() @ X, rtol=1e-9, atol=1e-9)
+
+
+def test_default_col_axis_on_row_only_mesh():
+    """Default col_axis='col' must degrade gracefully on a 1-D row mesh
+    (the spec may not reference a mesh axis that does not exist)."""
+    coo = powerlaw(300, 5000, seed=31)
+    mesh = make_mesh((("row", 8),))
+    op = DistSpMV.convert(coo, CFG, mesh)   # note: no col_axis=None
+    x = np.random.default_rng(3).uniform(-1, 1, coo.n_col)
+    y = np.asarray(op(x))
+    ok, det = verify_result(coo, x, y, dtype=np.float64)
+    assert ok, det
+
+
+class TestHaloSpMV:
+    def _check(self, coo, n_dev=8):
+        from singlespmv_tpu.parallel.halo import HaloSpMV
+
+        mesh = make_mesh((("row", n_dev),))
+        op = HaloSpMV.convert(coo, CFG, mesh)
+        x = np.random.default_rng(5).uniform(-1, 1, coo.n_col)
+        y = np.asarray(op(x))
+        ok, det = verify_result(coo, x, y, dtype=np.float64)
+        assert ok, det
+        return op
+
+    def test_banded_needs_few_rounds(self):
+        from singlespmv_tpu.data.generators import generate
+
+        coo = generate("band", 512, 8, seed=2)
+        op = self._check(coo)
+        # a banded matrix's halo is narrow: exchanged elements per shard must
+        # be far below the all-gather volume (= n_col)
+        assert op.exchange_elems < coo.n_col // 2
+
+    def test_scattered_correct(self):
+        self._check(powerlaw(500, 9000, seed=3))
+
+    def test_fully_local(self):
+        # block-diagonal: every shard's columns are its own -> zero rounds
+        from singlespmv_tpu.core.types import COOMatrix
+
+        n = 512
+        rng = np.random.default_rng(7)
+        rows = rng.integers(0, n, 4000)
+        block = rows // 64                      # 8 shards * 64 rows
+        cols = block * 64 + rng.integers(0, 64, 4000)
+        coo = COOMatrix.from_triplets(n, n, rows, cols,
+                                      rng.uniform(-1, 1, 4000),
+                                      sum_duplicates=True)
+        # NOTE: rows are balance-permuted, so locality isn't guaranteed for
+        # arbitrary matrices — this only asserts correctness.
+        self._check(coo)
+
+    def test_rectangular(self):
+        from singlespmv_tpu.core.types import COOMatrix
+
+        rng = np.random.default_rng(11)
+        coo = COOMatrix.from_triplets(
+            300, 700, rng.integers(0, 300, 5000), rng.integers(0, 700, 5000),
+            rng.uniform(-1, 1, 5000), sum_duplicates=True)
+        self._check(coo)
