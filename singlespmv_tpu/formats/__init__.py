@@ -14,10 +14,11 @@ def _ensure_loaded():
         return
     _LOADED = True
     from . import (auto, bcoo, bkt, bsr, coo, csr, csr5, css, dense, dia, ell,
-                   jds, ss)
+                   hyb, jds, ss)
     from .base import register_format
 
     register_format("auto", auto)
+    register_format("hyb", hyb)
     register_format("bkt", bkt)
     register_format("bsr", bsr)
     register_format("coo", coo)

@@ -109,6 +109,24 @@ def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
             costs["bkt_g"] = factor * (slots * (16 + 32 * k_g) / HBM_BPS
                                        + slots / LANE_GATHER_RATE / 2
                                        + over * 2e-9)
+    # hyb: dense-diagonal peel (DIA stream) + scattered residual.  The
+    # residual's cost is approximated by scaling the best whole-matrix
+    # scattered cost by the residual nnz fraction (x1.3: shallower buckets
+    # pad worse); hyb.convert re-picks the residual engine exactly.
+    from . import hyb as hyb_mod
+
+    est_h = hyb_mod.estimate(coo, cfg)
+    if est_h["feasible"]:
+        scatter = [v for k, v in costs.items()
+                   if k in ("bkt", "bkt_g", "css", "bsr")]
+        if est_h["resid_nnz"] == 0:
+            # pure-diagonal matrix: plain dia covers it; only offer hyb when
+            # dia itself is infeasible (peel subset under the density guard)
+            if "dia" not in costs:
+                costs["hyb"] = est_h["dia_sec"]
+        elif scatter and coo.nnz:
+            frac = est_h["resid_nnz"] / coo.nnz
+            costs["hyb"] = est_h["dia_sec"] + 1.3 * min(scatter) * frac
     return costs
 
 
@@ -117,8 +135,11 @@ def choose(coo: COOMatrix, cfg: Config) -> str:
     return min(costs, key=costs.get)
 
 
+from . import hyb as hyb_mod  # noqa: E402  (after estimate_costs definition)
+
 _MODULES = {"dia": dia_mod, "dense": dense_mod, "bsr": bsr_mod,
-            "css": css_mod, "bkt": bkt_mod, "bkt_g": bkt_mod}
+            "css": css_mod, "bkt": bkt_mod, "bkt_g": bkt_mod,
+            "hyb": hyb_mod}
 
 
 class AutoState:

@@ -100,7 +100,7 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
 
 @pytree_dataclass(meta=("n_row", "n_col", "nnz", "rb_pad", "cb_pad", "s", "g",
                         "k", "n_slots", "overflow_nnz", "balanced",
-                        "row_group"))
+                        "row_group", "max_run"))
 class BKTState:
     n_row: int
     n_col: int
@@ -113,11 +113,11 @@ class BKTState:
     n_slots: int
     overflow_nnz: int
     cb_ids: object    # (n_tiles,) int32 — col-block per stage-A tile
-    col: object       # (H, 128) int32 — stage-A stream columns
-    val: object       # (H, 128) values
-    heads: object     # (RB_pad·G, 128) int32 — stage-B run heads
-    idx: object       # (K·RB_pad·G, 128) int32 — static bin gathers, <0 masked
-    lo_a: object      # (H, 128) int32 — row % 128 per slot (to_coo only)
+    lane: object      # (H, W) int8 — stage-A in-block column (col - cb·128)
+    val: object       # (H, W) values
+    heads: object     # (RB_pad·G, 128) int8 — stage-B run heads
+    idx: object       # (K·RB_pad·G, 128) int8 — static bin gathers, <0 masked
+    lo_a: object      # (H, W) int32 — row-local per slot (to_coo only)
     overflow: object  # BSRState — dense buckets' overflow (CSR5 fast-track
                       # analog: the dense part rides the MXU)
     balanced: bool = False
@@ -125,6 +125,7 @@ class BKTState:
     src_chunk: object = None
     row_group: int = 128      # rows per bucket unit (128 or 1024); 1024 uses
                               # the grouped stage-B kernel (hyper-sparse mode)
+    max_run: int = 128        # longest real run — truncates the stage-B scan
 
 
 def convert(coo: COOMatrix, cfg: Config) -> BKTState:
@@ -327,7 +328,13 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
         routed = chain < k_lim
         er_s, el_s, bins_s, chain = (er_s[routed], el_s[routed],
                                      bins_s[routed], chain[routed])
+        run_ids_s = run_ids_s[routed]
     K = int(chain.max(initial=0)) + 1
+
+    # Longest run actually picked by idx — the stage-B scan only needs to
+    # cover that distance (shallow buckets skip most of the log2(128) steps).
+    run_len = np.bincount(run_id_flat)
+    max_run = int(run_len[run_ids_s].max(initial=1)) if run_ids_s.size else 1
 
     from . import bsr as bsr_mod
 
@@ -352,18 +359,19 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
         b_lane = bins_s % LANES
         idx_full[((slab_i * K + chain) * 8 + sig) * G + row_in, b_lane] = el_s
 
+    lane_a = col_a - slot_cb * LANES          # in-block column, 0..127
     return BKTState(
         n_row=n_row, n_col=n_col, nnz=nnz, rb_pad=RB_pad, cb_pad=CB_pad,
         s=S, g=G, k=K, n_slots=N, overflow_nnz=over_coo.nnz,
         cb_ids=device_put(cb_ids),
-        col=device_put(col_a.reshape(N // w_a, w_a).astype(cfg.index_dtype)),
+        lane=device_put(lane_a.reshape(N // w_a, w_a).astype(np.int8)),
         val=device_put(val_a.reshape(N // w_a, w_a)),
-        heads=device_put(heads_b.astype(np.int32)),
-        idx=device_put(idx_full),
+        heads=device_put(heads_b.astype(np.int8)),
+        idx=device_put(idx_full.astype(np.int8)),
         lo_a=device_put(rl_slot.reshape(N // w_a, w_a).astype(np.int32)),
         overflow=overflow_state,
         balanced=balanced, src_lane=src_lane, src_chunk=src_chunk,
-        row_group=RL,
+        row_group=RL, max_run=max_run,
     )
 
 
@@ -383,7 +391,7 @@ def spmv(state: BKTState, x):
     ru = state.row_group // LANES
     NU_pad = RB_pad // ru
     xp = jnp.zeros((CB_pad * LANES,), x.dtype).at[: state.n_col].set(x)
-    prod = block_gather_mul(state.cb_ids, state.col, state.val,
+    prod = block_gather_mul(state.cb_ids, state.lane, state.val,
                             xp.reshape(CB_pad, LANES))
     # cb-major -> unit-major relayout (pure transpose, no gather).  When S
     # divides 128 the q = cb·S + seq split factors across the lane boundary,
@@ -414,9 +422,11 @@ def spmv(state: BKTState, x):
         p = (prod.reshape(CB_pad, NU_pad, S).transpose(1, 0, 2)
              .reshape(NU_pad * G, LANES))
     if ru == 1:
-        y_tab = bucket_reduce(p, state.heads, state.idx, NU_pad)
+        y_tab = bucket_reduce(p, state.heads, state.idx, NU_pad,
+                              max_run=state.max_run)
     else:
-        y_tab = bucket_reduce_grouped(p, state.heads, state.idx, NU_pad)
+        y_tab = bucket_reduce_grouped(p, state.heads, state.idx, NU_pad,
+                                      max_run=state.max_run)
     if state.balanced:
         from ..ops.pallas.bucket import lane_unpermute
 
@@ -442,8 +452,8 @@ def traffic_bytes(state: BKTState, cfg: Config) -> int:
 
     vsz = np.dtype(cfg.dtype).itemsize
     slots = state.n_slots
-    stage_a = slots * (4 + 2 * vsz)                    # col + val + out
-    stage_b = slots * (vsz + 4) + state.k * slots * 4  # prod + heads + idx
+    stage_a = slots * (1 + 2 * vsz)                    # lane(i8) + val + out
+    stage_b = slots * (vsz + 1) + state.k * slots * 1  # prod + heads + idx (i8)
     over = bsr_mod.traffic_bytes(state.overflow, cfg) if state.overflow_nnz else 0
     return stage_a + stage_b + state.n_row * vsz + over
 
@@ -451,11 +461,12 @@ def traffic_bytes(state: BKTState, cfg: Config) -> int:
 def to_coo(state: BKTState) -> COOMatrix:
     """Inverse conversion (explicit zeros dropped — they pad like ghosts)."""
     val = np.asarray(state.val).reshape(-1)
-    col = np.asarray(state.col).reshape(-1)
     rl = np.asarray(state.lo_a).reshape(-1)
     N = state.n_slots
     ru = state.row_group // LANES
     nu_pad = state.rb_pad // ru
+    slot_cb = np.arange(N) // (nu_pad * state.s)
+    col = slot_cb * LANES + np.asarray(state.lane).reshape(-1).astype(np.int64)
     group = (np.arange(N) % (nu_pad * state.s)) // state.s
     rows = group * state.row_group + rl
     if state.balanced:

@@ -363,6 +363,51 @@ def probe_seg_scan(G=8192, dtype=np.float32):
     return G * LANES, sec
 
 
+def probe_seg_scan_roll(G=8192, dtype=np.float32, steps=7):
+    """Segmented lane scan with pltpu.roll shifts (circular rotate + iota
+    mask) instead of concatenate slices — candidate fix for the measured
+    2 G elem/s concatenate-shift scan."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(7)
+    heads = jnp.asarray(rng.integers(0, 2, (G, LANES)), jnp.int8)
+    val = jnp.asarray(rng.standard_normal((G, LANES)), dtype=dtype)
+
+    def kernel(heads_ref, val_ref, out_ref):
+        v = val_ref[:]
+        f = heads_ref[:].astype(jnp.int32)   # Mosaic rotate needs 32-bit
+        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        d = 1
+        for _ in range(steps):
+            vz = jnp.where(lane >= d, pltpu.roll(v, d, axis=1), 0.0)
+            fz = jnp.where(lane >= d, pltpu.roll(f, d, axis=1),
+                           jnp.ones_like(f))
+            v = jnp.where(f > 0, v, v + vz)
+            f = jnp.maximum(f, fz)
+            d *= 2
+        out_ref[:] = v
+
+    spec = lambda: pl.BlockSpec((8, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((G, LANES), val.dtype),
+        grid=(G // 8,),
+        in_specs=[spec(), spec()],
+        out_specs=spec(),
+        interpret=_interp(),
+    )
+
+    def body(c, tiny, heads):
+        return call(heads, c)
+
+    sec = _time(_chained(body), val, (heads,))
+    return G * LANES, sec
+
+
 def probe_pallas_tile_transpose(CB=256, NU=256, S=128, dtype=np.float32):
     """The bkt relayout as a Pallas grid kernel: per grid step read an
     (8 cb, 8 nu, S) brick, swap the two block axes in VMEM, write to the
@@ -414,6 +459,10 @@ PROBES = {
     "xla_transpose_s8": lambda: probe_xla_transpose(CB=1024, NU=256, S=8),
     "xla_transpose_s128": lambda: probe_xla_transpose(CB=64, NU=256, S=128),
     "pallas_tile_transpose": lambda: probe_pallas_tile_transpose(),
+    "seg_scan_roll_7": lambda: probe_seg_scan_roll(steps=7),
+    "seg_scan_roll_4": lambda: probe_seg_scan_roll(steps=4),
+    "seg_scan_roll_2": lambda: probe_seg_scan_roll(steps=2),
+    "seg_scan_big_block": lambda: probe_seg_scan(G=8192),
     "onehot_mxu_route": lambda: probe_onehot_mxu(),
     "dynslice_accum": lambda: probe_dynslice_accum(),
     "seg_scan_128": lambda: probe_seg_scan(),

@@ -40,21 +40,23 @@ def _use_interpret() -> bool:
 
 # ----------------------------------------------------------------- stage A ---
 
-def _mul_kernel(cbs_ref, col_ref, val_ref, x_ref, out_ref):
+def _mul_kernel(cbs_ref, lane_ref, val_ref, x_ref, out_ref):
     tile = pl.program_id(0)
-    w = col_ref.shape[1]
+    w = lane_ref.shape[1]
     g = 8 * w // LANES
     cb = cbs_ref[tile]
     xrow = x_ref[pl.ds(cb, 1), :]
     xb = jnp.broadcast_to(xrow, (g, LANES))
-    lanes = (col_ref[:] - cb * LANES).reshape(g, LANES)
+    lanes = lane_ref[:].astype(jnp.int32).reshape(g, LANES)
     gathered = jnp.take_along_axis(xb, lanes, axis=1)
     out_ref[:] = (val_ref[:].reshape(g, LANES) * gathered).reshape(8, w)
 
 
-def block_gather_mul(tile_cbs, col, val, x_table):
-    """products[i] = val[i] · x[col[i]] over a cb-major (H, 128) stream."""
-    h, w = col.shape
+def block_gather_mul(tile_cbs, lane, val, x_table):
+    """products[i] = val[i] · x[cb·128 + lane[i]] over a cb-major (H, 128)
+    stream; ``lane`` is the in-block column (int8 — 4x less index traffic
+    than absolute int32 columns)."""
+    h, w = lane.shape
     spec = lambda: pl.BlockSpec((8, w), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -67,30 +69,37 @@ def block_gather_mul(tile_cbs, col, val, x_table):
             out_specs=spec(),
         ),
         interpret=_use_interpret(),
-    )(tile_cbs, col, val, x_table)
+    )(tile_cbs, lane, val, x_table)
 
 
 # ----------------------------------------------------------------- stage B ---
 
-def _reduce_kernel(prod_ref, heads_ref, idx_ref, out_ref):
-    """One (8·G, 128) block = 8 rb slabs interleaved j-major (row r ↔ sublane
-    j = r//8 of slab s = r%8); emits the 8 slabs' (8, 128) row sums."""
-    rows = prod_ref.shape[0]
-    k = idx_ref.shape[0] // rows
-
-    v = prod_ref[:]
-    f = heads_ref[:]
+def _seg_scan(v, f, max_run: int):
+    """Segmented Hillis–Steele inclusive lane scan, truncated at the longest
+    run: after step d coverage is 2d, so ``while d < max_run`` suffices —
+    shallow buckets (hyper-sparse inputs) skip most of the log2(128) steps."""
     d = 1
-    while d < LANES:
+    while d < min(max_run, LANES):
         vz = jnp.concatenate([jnp.zeros_like(v[:, :d]), v[:, :-d]], axis=1)
         fz = jnp.concatenate([jnp.ones_like(f[:, :d]), f[:, :-d]], axis=1)
         v = jnp.where(f > 0, v, v + vz)
         f = jnp.maximum(f, fz)
         d *= 2
+    return v
+
+
+def _reduce_kernel(prod_ref, heads_ref, idx_ref, out_ref, *, max_run: int):
+    """One (8·G, 128) block = 8 rb slabs interleaved j-major (row r ↔ sublane
+    j = r//8 of slab s = r%8); emits the 8 slabs' (8, 128) row sums."""
+    rows = prod_ref.shape[0]
+    k = idx_ref.shape[0] // rows
+
+    # heads stored int8 (traffic); widen before compare — Mosaic has no i8 cmpi
+    v = _seg_scan(prod_ref[:], heads_ref[:].astype(jnp.int32), max_run)
 
     acc = jnp.zeros((rows, LANES), v.dtype)
     for kk in range(k):
-        idx = idx_ref[kk * rows:(kk + 1) * rows, :]
+        idx = idx_ref[kk * rows:(kk + 1) * rows, :].astype(jnp.int32)
         picked = jnp.take_along_axis(v, jnp.maximum(idx, 0), axis=1)
         acc = acc + jnp.where(idx >= 0, picked, 0.0)  # idx < 0 ⇒ masked slot
 
@@ -107,7 +116,7 @@ def _reduce_kernel(prod_ref, heads_ref, idx_ref, out_ref):
     out_ref[:] = cur
 
 
-def bucket_reduce(products, heads, idx, rb_pad: int):
+def bucket_reduce(products, heads, idx, rb_pad: int, max_run: int = LANES):
     """Row-block reduction of the rb-major, j-interleaved product stream.
 
     products/heads: (RB_pad·G, 128); block i covers rows [i·8G, (i+1)·8G).
@@ -116,6 +125,8 @@ def bucket_reduce(products, heads, idx, rb_pad: int):
                     [(i·K + k)·8G, (i·K + k + 1)·8G).  idx < 0 ⇒ masked.
     Returns (RB_pad, 128) row sums.
     """
+    import functools
+
     rows, _ = products.shape
     g = rows // rb_pad
     blk = 8 * g
@@ -125,7 +136,7 @@ def bucket_reduce(products, heads, idx, rb_pad: int):
         return (i, 0)
 
     return pl.pallas_call(
-        _reduce_kernel,
+        functools.partial(_reduce_kernel, max_run=max_run),
         out_shape=jax.ShapeDtypeStruct((rb_pad, LANES), products.dtype),
         grid=(cdiv(rb_pad, 8),),
         in_specs=[
@@ -171,7 +182,8 @@ def lane_unpermute(y_t, src_lane, src_chunk):
 
 # ----------------------------------------------- stage B, 1024-row groups ---
 
-def _reduce_grouped_kernel(prod_ref, heads_ref, idx_ref, out_ref):
+def _reduce_grouped_kernel(prod_ref, heads_ref, idx_ref, out_ref, *,
+                           max_run: int):
     """One slab = a 1024-row group: (G, 128) products → (8, 128) row sums.
 
     idx holds K×8 planes of (G, 128) per slab, (k, σ)-major: pass (k, σ) routes
@@ -180,22 +192,15 @@ def _reduce_grouped_kernel(prod_ref, heads_ref, idx_ref, out_ref):
     g = prod_ref.shape[0]
     k8 = idx_ref.shape[0] // g           # K * 8
 
-    v = prod_ref[:]
-    f = heads_ref[:]
-    d = 1
-    while d < LANES:
-        vz = jnp.concatenate([jnp.zeros_like(v[:, :d]), v[:, :-d]], axis=1)
-        fz = jnp.concatenate([jnp.ones_like(f[:, :d]), f[:, :-d]], axis=1)
-        v = jnp.where(f > 0, v, v + vz)
-        f = jnp.maximum(f, fz)
-        d *= 2
+    # heads stored int8 (traffic); widen before compare — Mosaic has no i8 cmpi
+    v = _seg_scan(prod_ref[:], heads_ref[:].astype(jnp.int32), max_run)
 
     rows_out = []
     for sigma in range(8):
         acc = jnp.zeros((g, LANES), v.dtype)
         for kk in range(k8 // 8):
             plane = (kk * 8 + sigma)
-            idx = idx_ref[plane * g:(plane + 1) * g, :]
+            idx = idx_ref[plane * g:(plane + 1) * g, :].astype(jnp.int32)
             picked = jnp.take_along_axis(v, jnp.maximum(idx, 0), axis=1)
             acc = acc + jnp.where(idx >= 0, picked, 0.0)
         cur = acc
@@ -210,12 +215,15 @@ def _reduce_grouped_kernel(prod_ref, heads_ref, idx_ref, out_ref):
     out_ref[:] = jnp.concatenate(rows_out, axis=0)
 
 
-def bucket_reduce_grouped(products, heads, idx, rbg_pad: int):
+def bucket_reduce_grouped(products, heads, idx, rbg_pad: int,
+                          max_run: int = LANES):
     """Row-group reduction: slabs of (G, 128) → (RBG_pad·8, 128) row sums.
 
     products/heads: (RBG_pad·G, 128), slab i at rows [i·G, (i+1)·G).
     idx: (K·8·RBG_pad·G, 128) — slab-major, (k, σ)-minor planes of (G, 128).
     """
+    import functools
+
     rows, _ = products.shape
     g = rows // rbg_pad
     k8 = idx.shape[0] // rows
@@ -224,7 +232,7 @@ def bucket_reduce_grouped(products, heads, idx, rbg_pad: int):
         return (i, 0)
 
     return pl.pallas_call(
-        _reduce_grouped_kernel,
+        functools.partial(_reduce_grouped_kernel, max_run=max_run),
         out_shape=jax.ShapeDtypeStruct((rbg_pad * 8, LANES), products.dtype),
         grid=(rbg_pad,),
         in_specs=[

@@ -68,7 +68,7 @@ class TestBucketKernels:
         col = lanes + 128 * np.repeat(cbs.astype(np.int64), 8)[:, None]
         val = rng.uniform(-1, 1, size=(h, 128))
         got = np.asarray(block_gather_mul(
-            jnp.asarray(cbs), jnp.asarray(col.astype(np.int32)),
+            jnp.asarray(cbs), jnp.asarray(lanes.astype(np.int8)),
             jnp.asarray(val), jnp.asarray(x)))
         np.testing.assert_allclose(got, val * x.reshape(-1)[col], rtol=1e-12)
 
