@@ -1,10 +1,10 @@
 """Per-stage on-chip profile of the bkt SpMV path for suite matrices.
 
 Times each stage of formats.bkt.spmv in isolation with the chained-loop
-methodology (microbench._time): stage A lane-gather+mul, the cb->unit
-relayout, stage B reduce, the balance unpermute, and the BSR overflow, plus
-the fused whole path.  This is the measurement that directs kernel work —
-run it after any bkt/bucket kernel change.
+methodology (microbench._time): stage A lane-gather+mul, the ru=1 XLA
+relayout, stage B reduce (MXU prefix + pick), and the balance unpermute,
+plus the fused whole path.  This is the measurement that directs kernel
+work — run it after any bkt/bucket kernel change.
 
 Usage: python scripts/profile_bkt.py [matrix ...]   (default: 3 natural synths)
 """
@@ -17,94 +17,75 @@ import numpy as np
 
 
 def profile(name, coo, cfg):
-    import jax
     import jax.numpy as jnp
 
     from singlespmv_tpu.formats import bkt as bkt_mod
-    from singlespmv_tpu.formats import bsr as bsr_mod
     from singlespmv_tpu.harness.microbench import _chained, _time
     from singlespmv_tpu.ops.pallas.bucket import (
         LANES, block_gather_mul, bucket_reduce, bucket_reduce_grouped,
         lane_unpermute)
 
     state = bkt_mod.convert(coo, cfg)
-    RB_pad, CB_pad, S, G = state.rb_pad, state.cb_pad, state.s, state.g
+    RB_pad, CB, G_tot, S, G = (state.rb_pad, state.cb, state.g_tot,
+                               state.s, state.g)
     ru = state.row_group // LANES
     NU_pad = RB_pad // ru
     n = state.n_slots
     print(f"== {name}: nnz={coo.nnz} slots={n} pad={n / coo.nnz:.2f} "
-          f"S={S} K={state.k} G={G} ru={ru} max_run={state.max_run} "
-          f"overflow={state.overflow_nnz} "
-          f"({state.overflow_nnz / coo.nnz * 100:.1f}%) w_a={state.val.shape[1]}",
-          flush=True)
+          f"S={S} K={state.k} m={state.m} G={G} ru={ru} "
+          f"ghosts={state.n_ghost} chunks={state.n_chunks}", flush=True)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(size=coo.n_col), cfg.np_dtype)
-    xp = jnp.zeros((CB_pad * LANES,), x.dtype).at[: coo.n_col].set(x)
-    xt = xp.reshape(CB_pad, LANES)
-
-    rows = []
+    xp = jnp.zeros((CB * LANES,), x.dtype).at[: coo.n_col].set(x)
+    xt = xp.reshape(CB, LANES)
 
     def rep(label, sec, elems):
-        rows.append((label, sec, elems))
         print(f"  {label:14s} {sec * 1e6:9.1f} us   "
               f"{elems / sec / 1e9:7.2f} G elem/s   "
               f"{2 * coo.nnz / sec / 1e9:7.2f} GFLOPS-equiv", flush=True)
 
     # stage A (carry = val)
-    def body_a(c, tiny, cb_ids, lane, xt):
-        return block_gather_mul(cb_ids, lane, c, xt)
+    def body_a(c, tiny, members, lane, src, xt):
+        return block_gather_mul(members, lane, src, c, xt, state.m)
 
-    sec = _time(_chained(body_a), state.val, (state.cb_ids, state.lane, xt))
+    sec = _time(_chained(body_a), state.val,
+                (state.members, state.lane, state.src, xt))
     rep("stageA", sec, n)
 
-    # relayout (carry = prod flattened to val's shape)
     prod_shape = state.val.shape
 
-    def relayout(prod):
-        fused = S <= LANES and LANES % S == 0 and CB_pad % (LANES // S) == 0
-        fused_big = S > LANES and S % LANES == 0
-        if fused and ru == 1:
-            c2n = LANES // S
-            return (prod.reshape(CB_pad // c2n, c2n, NU_pad // 8, 8, S)
-                    .transpose(2, 0, 3, 1, 4).reshape(NU_pad * G, LANES))
-        if fused:
-            c2n = LANES // S
-            return (prod.reshape(CB_pad // c2n, c2n, NU_pad, S)
-                    .transpose(2, 0, 1, 3).reshape(NU_pad * G, LANES))
-        if fused_big and ru == 1:
+    if ru == 1:
+        # relayout (carry = prod flattened to val's shape)
+        def relayout(flat):
             sh = S // LANES
-            return (prod.reshape(CB_pad, NU_pad // 8, 8, sh, LANES)
+            return (flat.reshape(G_tot, NU_pad // 8, 8, sh, LANES)
                     .transpose(1, 0, 3, 2, 4).reshape(NU_pad * G, LANES))
-        if fused_big:
-            sh = S // LANES
-            return (prod.reshape(CB_pad, NU_pad, sh, LANES)
-                    .transpose(1, 0, 2, 3).reshape(NU_pad * G, LANES))
-        if ru == 1:
-            p = prod.reshape(CB_pad, NU_pad, S).transpose(1, 0, 2)
-            p = p.reshape(NU_pad // 8, 8, G, LANES).transpose(0, 2, 1, 3)
-            return p.reshape(NU_pad * G, LANES)
-        return (prod.reshape(CB_pad, NU_pad, S).transpose(1, 0, 2)
-                .reshape(NU_pad * G, LANES))
 
-    def body_t(c, tiny):
-        return relayout(c.reshape(-1)).reshape(prod_shape)
+        def body_t(c, tiny):
+            return relayout(c.reshape(-1)).reshape(prod_shape)
 
-    sec = _time(_chained(body_t), state.val)
-    rep("relayout", sec, n)
+        sec = _time(_chained(body_t), state.val)
+        rep("relayout", sec, n)
 
-    # stage B (carry = p)
-    p0 = jnp.asarray(rng.standard_normal((NU_pad * G, LANES)), cfg.np_dtype)
+        p0 = jnp.asarray(rng.standard_normal((NU_pad * G, LANES)),
+                         cfg.np_dtype)
 
-    def body_b(c, tiny, heads, idx):
-        if ru == 1:
-            y = bucket_reduce(c, heads, idx, NU_pad, max_run=state.max_run)
-        else:
-            y = bucket_reduce_grouped(c, heads, idx, NU_pad,
-                                      max_run=state.max_run)
-        return c * (1.0 + y[0, 0] * tiny)
+        def body_b(c, tiny, hm1, idx):
+            y = bucket_reduce(c, hm1, idx, NU_pad)
+            return c * (1.0 + y[0, 0] * tiny)
 
-    sec = _time(_chained(body_b), p0, (state.heads, state.idx))
-    rep("stageB", sec, n)
+        sec = _time(_chained(body_b), p0, (state.hm1, state.idx))
+        rep("stageB", sec, n)
+    else:
+        p0 = jnp.asarray(rng.standard_normal((G_tot, NU_pad, S)),
+                         cfg.np_dtype)
+
+        def body_b(c, tiny, hm1, idx):
+            y = bucket_reduce_grouped(c, hm1, idx, NU_pad, state.n_chunks)
+            return c * (1.0 + y[0, 0] * tiny)
+
+        sec = _time(_chained(body_b), p0, (state.hm1, state.idx))
+        rep("stageB", sec, n)
 
     if state.balanced:
         rbu = state.src_lane.shape[1]
@@ -116,14 +97,6 @@ def profile(name, coo, cfg):
         sec = _time(_chained(body_u), y0, (state.src_lane, state.src_chunk))
         rep("unpermute", sec, LANES * rbu)
 
-    if state.overflow_nnz:
-        def body_o(c, tiny, ov):
-            y = bsr_mod.spmv(ov, c)
-            return c * (1.0 + y[0] * tiny)
-
-        sec = _time(_chained(body_o), x, (state.overflow,))
-        rep("overflowBSR", sec, state.overflow_nnz)
-
     # fused whole path
     def body_f(c, tiny, st):
         y = bkt_mod.spmv(st, c)
@@ -131,10 +104,11 @@ def profile(name, coo, cfg):
 
     sec = _time(_chained(body_f), x, (state,))
     rep("FULL", sec, coo.nnz)
-    return rows
 
 
 def main():
+    import time
+
     from singlespmv_tpu.config import Config
     from singlespmv_tpu.data.structgen import synthesize_structured
 
@@ -144,7 +118,10 @@ def main():
         for grp in (1024, 128):
             cfg = Config(format="bkt", dtype="float32", bkt_row_group=grp)
             try:
+                t0 = time.perf_counter()
                 profile(f"{name} (row_group={grp})", coo, cfg)
+                print(f"  [convert+profile wall {time.perf_counter()-t0:.1f}s]",
+                      flush=True)
             except Exception as e:  # noqa: BLE001
                 print(f"== {name} (row_group={grp}): {type(e).__name__}: {e}",
                       flush=True)

@@ -30,7 +30,8 @@ class Config:
     sigma: int = 16                 # CSR5 tile depth (σ); 0 = auto-tune from nnz/row
     row_block: int = 8              # CSR row-block height (rows per tile)
     lane_width: int = 128           # hardware lane width (TPU: 128)
-    bkt_cap_pct: float = 90.0       # bkt bucket-depth cap percentile (overflow→BSR)
+    bkt_cap_pct: float = 90.0       # bkt bucket-depth cap percentile (spill→ghosts)
+    bkt_group_cols: int = 0         # bkt col-blocks packed per group (0 = auto)
     bkt_balance: bool = True        # bkt lane-preserving row balance permutation
     bkt_row_group: int = 128        # bkt rows per bucket (128 | 1024 grouped mode)
 

@@ -27,9 +27,9 @@ _libs = {}
 _failed = set()
 
 
-def _build(src: str, out: str) -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o",
-           out + ".tmp"]
+def _build(src: str, out: str, extra_flags=()) -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+           *extra_flags, "-o", out + ".tmp"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(out + ".tmp", out)
@@ -60,6 +60,59 @@ def _get_lib(name: str, src_name: str) -> Optional[ctypes.CDLL]:
             return None
         _libs[name] = lib
         return lib
+
+
+# --------------------------------------------------------------- npalloc ----
+
+_npalloc_mod = None
+_npalloc_tried = False
+
+
+def install_hugepage_allocator() -> bool:
+    """Install the NEP-49 hugepage numpy allocator (npalloc_native.c).
+
+    On this machine first-touch page faults run ~1 ms/page, making fresh
+    numpy buffers (np.empty/full/arange and ufunc temporaries) pathologically
+    slow at GB scale; the handler maps data 2 MB-aligned with MADV_HUGEPAGE
+    and reuses mappings via a freelist.  Returns True if installed.
+    """
+    global _npalloc_mod, _npalloc_tried
+    if _npalloc_mod is not None:
+        return True
+    if _npalloc_tried:
+        return False
+    _npalloc_tried = True
+    if os.environ.get("SPMV_NO_HUGEPAGE_ALLOC"):
+        return False
+    src = os.path.join(_DIR, "npalloc_native.c")
+    lib_path = os.path.join(_DIR, "_npalloc.so")
+    try:
+        import sysconfig
+
+        if not os.path.exists(lib_path) or (
+            os.path.getmtime(src) > os.path.getmtime(lib_path)
+        ):
+            flags = ["-I" + sysconfig.get_paths()["include"],
+                     "-I" + np.get_include()]
+            if not _build(src, lib_path, flags):
+                return False
+        import importlib.machinery
+        import importlib.util
+
+        loader = importlib.machinery.ExtensionFileLoader("_npalloc", lib_path)
+        spec = importlib.util.spec_from_loader("_npalloc", loader)
+        mod = importlib.util.module_from_spec(spec)
+        loader.exec_module(mod)
+        mod.install()
+        _npalloc_mod = mod
+        return True
+    except Exception:
+        return False
+
+
+def npalloc_stats():
+    """Allocator counters (freelist hits, mmaps) or None if not installed."""
+    return _npalloc_mod.stats() if _npalloc_mod is not None else None
 
 
 # ------------------------------------------------------------------ mmio ----

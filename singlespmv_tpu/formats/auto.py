@@ -82,33 +82,28 @@ def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
     from ..ops import pallas as pallas_pkg
 
     if coo.nnz and pallas_pkg.supports(cfg.np_dtype):
+        # stage A: lane+val+prod = 9 B/slot streamed + wide lane gather
+        # (measured 64 G elem/s at W=1024); stage B: prod+hm1+idx streamed +
+        # the MXU prefix (256 flop/slot).
+        def _bkt_sec(slots, k, idx_b, extra_sec=0.0):
+            stage_a = slots * (1 + 2 * vsz) / HBM_BPS + slots / 40e9
+            stage_b = (slots * (vsz + 1 + idx_b * k) / HBM_BPS
+                       + slots * 256 / MXU_FLOPS)
+            return stage_a + stage_b + extra_sec
+
         est = bkt_mod.estimate(coo, cfg)
-        # S ≤ 4 means near-empty buckets: collision chains overflow en masse
-        # into scattered BSR blocks and the design degenerates (measured on
-        # 206k-row synthetics) — don't offer 128-row bkt there.
-        if est["feasible"] and est["s"] > 4:
-            slots, over, k_est = est["slots"], est["overflow"], est["k_est"]
-            # Overflow entries land in BSR blocks (~2 ns/entry streamed);
-            # K collision-chain passes stream K·4 B/slot of static indices.
-            costs["bkt"] = (slots * (16 + 4 * min(k_est, 8)) / HBM_BPS
-                            + slots / LANE_GATHER_RATE / 2
-                            + over * 2e-9)
-        # 1024-row grouped mode: 8× fewer, deeper buckets (hyper-sparse
-        # remedy); stage-B idx planes stream 32·K B/slot ((k, σ)-major).
+        if est["feasible"]:
+            # ru=1 pays the XLA group→rb relayout (row-granular, ~140 G el/s)
+            costs["bkt"] = _bkt_sec(est["slots"], min(est["k_est"], 8), 1,
+                                    extra_sec=est["slots"] / 140e9)
+        # 1024-row grouped mode: 8× fewer, deeper buckets; stage B reads the
+        # cb-major grid directly (no relayout); idx = 2 B (σ·128+lane) per K.
         est_g = bkt_mod.estimate(coo, cfg.replace(bkt_row_group=1024))
-        if est_g["feasible"] and est_g["s"] > 4:
-            slots, over = est_g["slots"], est_g["overflow"]
-            k_g = max(1, min(4, 1024 // max(1, est_g["s"])))
-            # Calibration from measured head-to-heads: grouped wins in the
-            # shallow-bucket regime (128-row S ≤ 64: 1.3–3.6×); in the deep-S
-            # regime (dense-ish buckets) the 128-row mode is ~1.4× faster.
-            factor = 0.6 if est.get("s", 1) <= 64 else 1.4
-            g_g = est_g["cb_pad"] * est_g["s"] // 128
-            if bkt_mod.k_cap(g_g, floor=1) < 2:
-                factor = 1.5          # grouped idx won't fit VMEM at K >= 2
-            costs["bkt_g"] = factor * (slots * (16 + 32 * k_g) / HBM_BPS
-                                       + slots / LANE_GATHER_RATE / 2
-                                       + over * 2e-9)
+        if est_g["feasible"]:
+            # m-way stage-A select: m wide takes per slot
+            sel = est_g["slots"] * (est_g["m"] - 1) / 200e9
+            costs["bkt_g"] = _bkt_sec(est_g["slots"], est_g["k_est"], 2,
+                                      extra_sec=sel)
     # hyb: dense-diagonal peel (DIA stream) + scattered residual.  The
     # residual's cost is approximated by scaling the best whole-matrix
     # scattered cost by the residual nnz fraction (x1.3: shallower buckets

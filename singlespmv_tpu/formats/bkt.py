@@ -1,47 +1,60 @@
 """BKT — two-phase bucketed format: the scatter-free scattered-matrix path.
 
-No reference analog (the reference's CPU caches make scattered scatter cheap; its
+No reference analog (the reference's CPU caches make scattered access cheap; its
 own random-* results are 0.1–2.2 GFLOPS, BASELINE.md).  On TPU both XLA gather and
-scatter run ~0.14 G el/s, so BKT routes everything through the two fast motions —
-streaming and 128-lane ``take_along_axis`` (see ops.pallas.bucket):
+scatter run ~0.14 G el/s, so BKT routes everything through the three fast motions —
+streaming, 128-lane ``take_along_axis``, and MXU matmuls (see ops.pallas.bucket):
 
-  stage A: products in (col-block)-major bucket order (lane-gather of x);
-  transpose: one XLA relayout of the dense (CB, RB, S) slot grid to rb-major;
-  stage B: per-row-block lane-scan + K static masked lane-gathers → 128 row sums.
+  stage A: products in (column-group)-major bucket order (m-way lane-gather of x);
+  stage B: per row-unit MXU prefix sum + K static masked lane-gathers → row sums.
+
+Buckets are (column group, row unit) cells of depth S; grouped mode
+(row_group=1024, the scattered-suite mode) fixes **S = 128, so a bucket IS one
+128-lane stream row** — Mosaic cannot repack ragged (·, S) rows into lanes, and
+with S=128 stage B slices slabs at 215 G elem/s (measured) with zero data
+movement.  Occupancy is kept near the row size by **packing up to m col-blocks
+per group** (bin-packed by load at convert; stage A m-way-selects the x row per
+slot), instead of padding shallow buckets m-fold.  Buckets that still overflow
+spill into *ghost groups* (same member columns, fresh rows), and over-chained
+collision runs respill the same way — no side path: one pair of kernels covers
+everything.
 
 Convert computes every data-dependent index on the host; padding is bounded by
 ``PAD_LIMIT`` (beyond it — hyper-sparse giants — convert refuses and `auto`
-falls back to bsr/css).
+falls back to csr/css).
 """
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
 from ..config import Config
+from ..core import hostmem as hm
 from ..core.types import COOMatrix, cdiv, round_up
 from .base import device_put, pytree_dataclass
 
 LANES = 128
-PAD_LIMIT = 16.0       # max padded-slots / nnz before refusing — generous:
-                       # pad slots stream at HBM speed, so even 10x-padded bkt
-                       # beats scatter-bound alternatives on hyper-sparse inputs
+W_A = 1024             # stage-A tile width (ops.pallas.bucket.W_A)
+PAD_LIMIT = 16.0       # max padded-slots / nnz before refusing
 MIN_SLOTS = 1 << 16    # small matrices are always allowed
-K_MAX = 32             # absolute collision-chain cap; excess → overflow
+K_MAX = 32             # absolute collision-chain cap
 IDX_VMEM_BUDGET = 4 << 20   # stage-B idx block bytes (double-buffered by the
                             # pipeline out of ~16 MB VMEM)
+CB_CHUNK_MAX = 384     # stage-B col-group chunk (block (ch, 8, 128) ~1.5 MB)
+GROUP_FILL_TARGET = 72  # pack col-blocks until expected bucket fill ≥ this
 
 
-def k_cap(g: int, floor: int = 4) -> int:
-    """VMEM-aware collision-chain cap: idx block = K·8G·128·4 bytes."""
-    return max(floor, min(K_MAX, IDX_VMEM_BUDGET // (8 * g * 128 * 4)))
+def k_cap(g: int, itemsize: int, floor: int = 4) -> int:
+    """VMEM-aware collision-chain cap: idx block = K·G·128·itemsize bytes."""
+    return max(floor, min(K_MAX, IDX_VMEM_BUDGET // (g * 128 * itemsize)))
 
 
 def balance_map(rows: np.ndarray, RB: int) -> np.ndarray:
     """Lane-preserving balance permutation: per lo class, deal rows (heaviest
     first) to the least-loaded row-block.  Returns (RB, 128) new_rb_of.
     Shared by convert() and estimate() — the estimate MUST model the balanced
-    bucket depths or it overstates S by the row-skew factor (round-2 fix:
-    the planner was rejecting bkt_g on matrices convert handles at pad ≈ 2)."""
+    bucket depths or it overstates S by the row-skew factor."""
     w = np.bincount(rows, minlength=RB * LANES).reshape(RB, LANES)
     new_rb_of = np.empty((RB, LANES), dtype=np.int64)
     loads = np.zeros(RB, dtype=np.int64)
@@ -53,14 +66,76 @@ def balance_map(rows: np.ndarray, RB: int) -> np.ndarray:
     return new_rb_of
 
 
+def _pick_m(nnz: int, n_buckets: int, cfg: Config) -> int:
+    """Column-group width: pack col-blocks until the expected bucket fill
+    reaches GROUP_FILL_TARGET (m wide lane-gathers on m-fold fewer slots beat
+    one gather on m-fold padding — stage B scales with slots)."""
+    if cfg.bkt_group_cols:
+        return int(cfg.bkt_group_cols)
+    fill = nnz / max(n_buckets, 1)
+    m = 1
+    while m < 8 and fill * m < GROUP_FILL_TARGET:
+        m *= 2
+    return m
+
+
+def _pack_columns(col_load: np.ndarray, m: int) -> np.ndarray:
+    """Serpentine-deal columns (sorted by load, heaviest first) into
+    ceil(CB/m) groups of m — pairs heavy with light so group loads even out.
+    Returns (n_grp, m) member table (tail padded with the last column)."""
+    CB = len(col_load)
+    n_grp = cdiv(CB, m)
+    order = np.argsort(-col_load, kind="stable")
+    pad = n_grp * m - CB
+    if pad:
+        order = np.concatenate([order, np.repeat(order[-1:], pad)])
+    members = np.empty((n_grp, m), dtype=np.int32)
+    for j in range(m):                # serpentine: heavy rounds alternate ends
+        blk = order[j * n_grp:(j + 1) * n_grp]
+        members[:, j] = blk if j % 2 == 0 else blk[::-1]
+    return members
+
+
+def _plan_s(s_base: int, ru: int) -> int:
+    """Grouped mode is fixed at S=128 (a bucket IS one stream row; Mosaic
+    cannot lower ragged (·, S) row repacks — the S=128 slice runs at
+    215 G elem/s, measured).  ru=1 rounds S to 128-multiples so its XLA
+    relayout is row-granular (142 G elem/s measured vs 3-6 for ragged)."""
+    return LANES if ru == 8 else round_up(s_base, LANES)
+
+
+def _ghost_counts(counts2d: np.ndarray, S: int) -> np.ndarray:
+    """Ghost groups per original group: the deepest bucket's overflow,
+    in units of S (each ghost group serves every row unit)."""
+    excess = np.maximum(counts2d - S, 0)
+    return (-(-excess // S)).max(axis=1)
+
+
+def _align_groups(g_tot: int, NU_pad: int, S: int, ru: int):
+    """N ≡ 0 (mod 8·W_A) so the stage-A stream tiles evenly; grouped mode
+    additionally splits the group axis into VMEM-sized chunks (stage-B
+    output accumulates over them).  Returns (G_tot, n_chunks)."""
+    unit = NU_pad * S
+    need = (8 * W_A) // math.gcd(unit, 8 * W_A)
+    g_tot = round_up(g_tot, need)
+    if ru != 8:
+        return g_tot, 1
+    n = cdiv(g_tot, CB_CHUNK_MAX)
+    while True:
+        step = 8 * n                      # chunks of 8-multiples of rows
+        lcm = step * need // math.gcd(step, need)
+        c = round_up(g_tot, lcm)
+        if c // n <= CB_CHUNK_MAX:
+            return c, n
+        n = cdiv(c, CB_CHUNK_MAX)
+
+
 def estimate(coo: COOMatrix, cfg: Config) -> dict:
-    """Cheap convert-free plan: slots / S / overflow — used by formats.auto.
+    """Cheap convert-free plan: slots / S / m / ghosts — used by formats.auto.
 
-    Mirrors convert()'s planning math exactly (same counts, cap, alignment
-    candidates) so auto never picks a bkt that convert would then refuse.
+    Mirrors convert()'s planning math (same counts, packing, alignment) so
+    auto never picks a bkt that convert would then refuse.
     """
-    import math
-
     ru = max(1, int(cfg.bkt_row_group) // LANES)
     RB = cdiv(max(coo.n_row, 1), LANES)
     CB = cdiv(max(coo.n_col, 1), LANES)
@@ -70,67 +145,81 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
         rb = rows // LANES
         if bool(cfg.bkt_balance) and RB <= 2048:
             rb = balance_map(rows, RB)[rb, rows % LANES]
-        counts0 = np.bincount((coo.col.astype(np.int64) // LANES) * NU
-                              + rb // ru, minlength=CB * NU)
+        cb = coo.col.astype(np.int64) // LANES
+        m = _pick_m(coo.nnz, CB * NU, cfg) if ru == 8 else 1
+        if m > 1:
+            col_load = np.bincount(cb, minlength=CB)
+            members = _pack_columns(col_load, m)
+            grp_of = np.zeros(CB, dtype=np.int64)
+            for j in range(m):
+                grp_of[members[:, j]] = np.arange(members.shape[0])
+            gb = grp_of[cb]
+        else:
+            gb = cb
+        n_grp = cdiv(CB, m)
+        counts0 = np.bincount(gb * NU + rb // ru, minlength=n_grp * NU)
     else:
-        counts0 = np.zeros(1, dtype=np.int64)
+        m, n_grp = 1, CB
+        counts0 = np.zeros(n_grp * NU, dtype=np.int64)
     nz = counts0[counts0 > 0]
     s_need = int(counts0.max(initial=1))
     s_cap = int(np.percentile(nz, cfg.bkt_cap_pct)) if nz.size else 1
     s_base = max(min(s_need, max(s_cap, 1)), 1)
 
-    def plan(u_mult):
-        nup = round_up(NU, u_mult)
-        align = max(1, 1024 // math.gcd(nup, 1024))
-        s = round_up(s_base, align)
-        cbp = round_up(CB, 128 // math.gcd(s, 128))
-        if ru == 8:   # grouped stage-B blocks are (G, 128): need G % 8 == 0
-            cbp = round_up(cbp, 1024 // math.gcd(s, 1024))
-        return cbp * nup * s, nup, s, cbp
-
-    n, nu_pad, s, cb_pad = min(plan(m) for m in (8, 64, 128, 256, 1024))
-    over = int(np.maximum(nz - s, 0).sum()) if nz.size else 0
-    k_est = max(1, min(16, (ru * 128) // max(1, s)))
+    NU_pad = round_up(NU, 8)
+    S = _plan_s(s_base, ru)
+    gpc = _ghost_counts(counts0.reshape(n_grp, NU), S)
+    if ru == 1:
+        ghost_total = _align_groups(n_grp + int(gpc.sum()), NU_pad, S,
+                                    ru)[0] * NU_pad * S
+        S_d = _plan_s(s_need, ru)
+        deep_total = _align_groups(n_grp, NU_pad, S_d, ru)[0] * NU_pad * S_d
+        if deep_total < ghost_total:
+            S = S_d
+            gpc = np.zeros(n_grp, dtype=np.int64)
+    g_tot, _nch = _align_groups(n_grp + int(gpc.sum()), NU_pad, S, ru)
+    n = g_tot * NU_pad * S
+    k_est = 2 if ru == 8 else max(1, min(8, 128 // max(1, S)))
     feasible = n <= max(PAD_LIMIT * max(coo.nnz, 1), MIN_SLOTS)
-    if ru == 8 and cb_pad * s // 128 < 8:
-        feasible = False
-    return {"slots": n, "s": s, "rb_pad": nu_pad * ru, "cb_pad": cb_pad,
-            "overflow": over, "k_est": k_est, "feasible": feasible}
+    return {"slots": n, "s": S, "m": m, "rb_pad": NU_pad * ru,
+            "g_tot": g_tot, "ghosts": int(gpc.sum()), "k_est": k_est,
+            "feasible": feasible}
 
 
-@pytree_dataclass(meta=("n_row", "n_col", "nnz", "rb_pad", "cb_pad", "s", "g",
-                        "k", "n_slots", "overflow_nnz", "balanced",
-                        "row_group", "max_run"))
+@pytree_dataclass(meta=("n_row", "n_col", "nnz", "rb_pad", "cb", "g_tot",
+                        "s", "g", "k", "m", "n_slots", "n_ghost", "balanced",
+                        "row_group", "n_chunks"))
 class BKTState:
     n_row: int
     n_col: int
     nnz: int
     rb_pad: int
-    cb_pad: int
-    s: int            # padded bucket depth (capped; dense buckets overflow)
-    g: int            # sublanes per rb slab = cb_pad·s / 128
+    cb: int           # original col-blocks (x table rows)
+    g_tot: int        # column groups incl. ghost groups + alignment pads
+    s: int            # bucket depth (128 in grouped mode)
+    g: int            # sublanes per row-unit slab = g_tot·s / 128
     k: int            # collision chain depth
+    m: int            # col-blocks packed per group (stage-A m-way select)
     n_slots: int
-    overflow_nnz: int
-    cb_ids: object    # (n_tiles,) int32 — col-block per stage-A tile
-    lane: object      # (H, W) int8 — stage-A in-block column (col - cb·128)
+    n_ghost: int
+    members: object   # (H·8·m,) int32 — per stage-A sublane row, m x rows
+    mem_tab: object   # (g_tot, m) int32 — group → member col-blocks (to_coo)
+    lane: object      # (H, W) int8 — in-block column (col − cb·128)
+    src: object       # (H, W) int8 — member index per slot (m > 1)
     val: object       # (H, W) values
-    heads: object     # (RB_pad·G, 128) int8 — stage-B run heads
-    idx: object       # (K·RB_pad·G, 128) int8 — static bin gathers, <0 masked
+    hm1: object       # int8 — lane of run head − 1 (−1: row start)
+    idx: object       # int8 (ru=1) / int16 σ·128+lane (grouped); <0 masked
     lo_a: object      # (H, W) int32 — row-local per slot (to_coo only)
-    overflow: object  # BSRState — dense buckets' overflow (CSR5 fast-track
-                      # analog: the dense part rides the MXU)
     balanced: bool = False
     src_lane: object = None   # (128, RB_pad) int32 — balance-inverse routing
     src_chunk: object = None
     row_group: int = 128      # rows per bucket unit (128 or 1024); 1024 uses
-                              # the grouped stage-B kernel (hyper-sparse mode)
-    max_run: int = 128        # longest real run — truncates the stage-B scan
+                              # the grouped stage-B kernel (scattered mode)
+    n_chunks: int = 1         # grouped stage-B col-group chunking (VMEM)
 
 
 def convert(coo: COOMatrix, cfg: Config) -> BKTState:
     n_row, n_col, nnz = coo.n_row, coo.n_col, coo.nnz
-    import math
 
     ru = max(1, int(cfg.bkt_row_group) // LANES)   # 128-row blocks per bucket
     if ru not in (1, 8):
@@ -140,11 +229,11 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
     CB = cdiv(max(n_col, 1), LANES)
     NU = cdiv(RB, ru)                               # bucket row units
 
-    rows = coo.row.astype(np.int64)
-    cols = coo.col.astype(np.int64)
+    rows = hm.astype(coo.row, np.int64)
+    cols = hm.astype(coo.col, np.int64)
     rb = rows // LANES
     cb = cols // LANES
-    lo = (rows % LANES).astype(np.int64)
+    lo = rows % LANES
 
     # --- lane-preserving balance permutation: within each lo class, spread
     # heavy rows across row-blocks so bucket depths even out (the bkt analog of
@@ -159,40 +248,55 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
     ub = rb // ru                                  # bucket row-unit index
     rl = (rb % ru) * LANES + lo                    # row-local within the unit
 
-    # S: bucket depth, capped near the 90th percentile — dense buckets' excess
-    # routes to the BSR overflow (the dense part is exactly what BSR is good
-    # at, mirroring CSR5's fast/normal track split).
-    counts0 = np.bincount(cb * NU + ub, minlength=CB * NU) if nnz else \
-        np.zeros(CB * NU, dtype=np.int64)
+    # --- column groups: pack m col-blocks per group (serpentine by load) -----
+    m = _pick_m(nnz, CB * NU, cfg) if ru == 8 else 1
+    if m > 1:
+        col_load = np.bincount(cb, minlength=CB)
+        base_members = _pack_columns(col_load, m)
+        grp_of = np.zeros(CB, dtype=np.int64)
+        j_of = np.zeros(CB, dtype=np.int8)
+        for j in range(m):
+            grp_of[base_members[:, j]] = np.arange(base_members.shape[0])
+            j_of[base_members[:, j]] = j
+        gb = grp_of[cb]
+        j_e0 = j_of[cb]
+        n_grp = base_members.shape[0]
+    else:
+        base_members = np.arange(CB, dtype=np.int32).reshape(CB, 1)
+        gb = cb
+        j_e0 = np.zeros(nnz, dtype=np.int8)
+        n_grp = CB
+
+    # S: bucket depth; dense buckets spill into ghost groups (same members,
+    # fresh stream rows).
+    counts0 = np.bincount(gb * NU + ub, minlength=n_grp * NU) if nnz else \
+        np.zeros(n_grp * NU, dtype=np.int64)
     nz_counts = counts0[counts0 > 0]
     s_need = int(counts0.max(initial=1))
     s_cap = int(np.percentile(nz_counts, cfg.bkt_cap_pct)) if nz_counts.size \
         else 1
     s_base = max(min(s_need, max(s_cap, 1)), 1)
 
-    # RB_pad rounding trades ghost row-blocks against the S alignment forced by
-    # "stage-A tiles (1024 slots) single-col-block": S must be a multiple of
-    # 1024/gcd(RB_pad, 1024).  Pick the candidate minimizing total slots.
-    def plan(u_mult):
-        nup = round_up(NU, u_mult)
-        align = max(1, 1024 // math.gcd(nup, 1024))
-        s = round_up(s_base, align)
-        cbp = round_up(CB, 128 // math.gcd(s, 128))
-        if ru == 8:   # grouped stage-B blocks are (G, 128): need G % 8 == 0
-            cbp = round_up(cbp, 1024 // math.gcd(s, 1024))
-        return cbp * nup * s, nup, s, cbp
-
-    N, NU_pad, S, CB_pad = min(plan(m) for m in (8, 64, 128, 256, 1024))
+    NU_pad = round_up(NU, 8)
+    S = _plan_s(s_base, ru)
+    gpc = _ghost_counts(counts0.reshape(n_grp, NU), S)
+    if ru == 1:
+        # deep-S alternative: cheaper when overflow concentrates in a few
+        # dense buckets (a ghost group is a full NU_pad·S panel)
+        ghost_total = _align_groups(n_grp + int(gpc.sum()), NU_pad, S,
+                                    ru)[0] * NU_pad * S
+        S_d = _plan_s(s_need, ru)
+        deep_total = _align_groups(n_grp, NU_pad, S_d, ru)[0] * NU_pad * S_d
+        if deep_total < ghost_total:
+            S = S_d
+            gpc = np.zeros(n_grp, dtype=np.int64)
     RB_pad = NU_pad * ru
-    if N > max(PAD_LIMIT * max(nnz, 1), MIN_SLOTS):
-        raise ValueError(
-            f"bkt: padded grid {N} slots vs nnz {nnz} exceeds PAD_LIMIT — "
-            "matrix too hyper-sparse for dense bucketing; use bsr/css")
 
-    G = CB_pad * S // LANES
-    H = N // LANES
-    if ru == 8 and G < 8:
-        raise ValueError("bkt grouped mode needs G >= 8 (matrix too narrow)")
+    # ---- ghost-group bookkeeping ---------------------------------------------
+    ghost_base = np.zeros(n_grp + 1, dtype=np.int64)
+    np.cumsum(gpc, out=ghost_base[1:])
+    next_ghost = n_grp + int(ghost_base[-1])   # first free ghost group index
+    ghost_parent = [np.repeat(np.arange(n_grp, dtype=np.int64), gpc)]
 
     # Inverse routing for the balance permutation, sized to the final RB_pad:
     # out[lo, rb_orig] reads y_tab[new_rb_of[rb_orig, lo], lo]; identity on pads.
@@ -207,171 +311,215 @@ def convert(coo: COOMatrix, cfg: Config) -> BKTState:
         src_lane = device_put(np.zeros((LANES, LANES), np.int32))
         src_chunk = device_put(np.zeros((LANES, LANES), np.int32))
 
-    # ---- slot assignment: bucket-major, row-local-sorted within bucket ------
-    bucket = cb * NU_pad + ub
-    counts = np.bincount(bucket, minlength=CB * NU_pad) if nnz else \
-        np.zeros(CB * NU_pad, dtype=np.int64)
-    order = np.lexsort((cols, rl, bucket)) if nnz else np.zeros(0, np.int64)
-    b_sorted = bucket[order]
-    start = np.zeros(CB * NU_pad, dtype=np.int64)
+    # ---- entry arrays, bucket-major, row-local-sorted within bucket ---------
+    bucket0 = gb * NU_pad + ub
+    order = np.lexsort((cols, rl, bucket0)) if nnz else np.zeros(0, np.int64)
+    ogrp = gb[order]                   # original group per entry
+    ub_e = ub[order]
+    rl_e = rl[order]
+    col_e = cols[order]
+    j_e = j_e0[order]
+    val_e = hm.astype(coo.val, cfg.np_dtype)[order]
+    counts = np.bincount(bucket0, minlength=n_grp * NU_pad) if nnz else \
+        np.zeros(n_grp * NU_pad, dtype=np.int64)
+    start = hm.zeros(n_grp * NU_pad, np.int64)
     np.cumsum(counts[:-1], out=start[1:])
-    seq = np.arange(nnz) - start[b_sorted]
+    seq = hm.arange(nnz) - start[bucket0[order]]
+    bkt_grp = ogrp.copy()              # bucket's group index (ghosts re-home)
 
-    # Entries beyond the per-bucket cap overflow into BSR (built further down,
-    # together with the over-chained-run overflow).
+    # bucket-cap overflow -> round-0 ghost groups: same unit, seq mod S
     over = seq >= S
-    over_rows = [rows[order][over]]
-    over_cols = [cols[order][over]]
-    over_vals = [coo.val[order][over]]
+    if over.any():
+        bkt_grp[over] = n_grp + ghost_base[ogrp[over]] + (seq[over] - S) // S
+        seq = np.where(over, (seq - S) % S, seq)
 
-    keep_s = ~over
-    order = order[keep_s]
-    b_sorted = b_sorted[keep_s]
-    seq = seq[keep_s]
-    nnz_in = int(order.shape[0])
-    slot = b_sorted * S + seq
+    def assign_ghosts(mask):
+        """Re-home masked entries into fresh ghost groups (per parent group,
+        so member tables carry over).  Returns the number of new groups."""
+        nonlocal bkt_grp, seq, next_ghost
+        idx_m = np.nonzero(mask)[0]
+        # order by rl%128 first (same-rl contiguous, RL-1 last): collision
+        # mates — runs sharing a bin lane — land in different stream rows
+        # instead of re-colliding in the ghost buckets
+        rm = rl_e[idx_m]
+        sub = np.lexsort((rm, rm % LANES, rm == RL - 1,
+                          ub_e[idx_m], ogrp[idx_m]))
+        idx_m = idx_m[sub]
+        key = ogrp[idx_m] * NU_pad + ub_e[idx_m]
+        cnts = np.bincount(key, minlength=n_grp * NU_pad)
+        # every masked entry needs fresh capacity: ceil(cnt/S), max over units
+        gpc2 = (-(-cnts.reshape(n_grp, NU_pad) // S)).max(axis=1)
+        base2 = np.zeros(n_grp + 1, dtype=np.int64)
+        np.cumsum(gpc2, out=base2[1:])
+        st2 = np.zeros(n_grp * NU_pad, dtype=np.int64)
+        np.cumsum(cnts[:-1], out=st2[1:])
+        within = np.arange(len(idx_m)) - st2[key]
+        bkt_grp[idx_m] = next_ghost + base2[ogrp[idx_m]] + within // S
+        seq[idx_m] = within % S
+        ghost_parent.append(np.repeat(np.arange(n_grp, dtype=np.int64), gpc2))
+        next_ghost += int(base2[-1])
+        return int(base2[-1])
 
-    slot_cb = np.arange(N) // (NU_pad * S)
-    col_a = (slot_cb * LANES).astype(np.int64)       # ghost: lane 0 of own block
-    val_a = np.zeros(N, dtype=cfg.np_dtype)
-    rl_slot = np.full(N, RL - 1, dtype=np.int64)     # ghosts sort/merge last
-    real = np.zeros(N, dtype=bool)
-    col_a[slot] = cols[order]
-    val_a[slot] = coo.val[order].astype(cfg.np_dtype)
-    rl_slot[slot] = rl[order]
-    real[slot] = True
+    # ---- entry-space runs + collision chains (with over-chain respill) ------
+    # A run = one (bucket, rl) group, split at 128-slot stream-row boundaries
+    # (p = bkt_grp·S + seq is the slab-stream position).  K is a Poisson-tail
+    # max over ~N/128 cells, so instead of sizing idx by the max, runs deeper
+    # than K_TARGET respill into ghost groups (fresh rows, shallow chains).
+    K_TARGET = 4 if ru == 8 else 8   # grouped stage-B compute scales with K,
+                                     # but tighter caps make the respill loop
+                                     # diverge (measured: K=2 → +50% ghosts)
 
-    # Stage-A tile width: widest W whose (8·W)-slot tiles never straddle a
-    # col-block (fewer grid steps, bigger vector ops per take_along_axis).
-    w_a = LANES
-    for cand in (1024, 512, 256):
-        if (NU_pad * S) % (8 * cand) == 0:
-            w_a = cand
+    def compute_runs():
+        o2 = np.lexsort((seq, rl_e, ub_e, bkt_grp))
+        bke = bkt_grp[o2] * NU_pad + ub_e[o2]
+        rle = rl_e[o2]
+        sq = seq[o2]
+        n = len(o2)
+        new_g = np.empty(n, dtype=bool)
+        if n:
+            new_g[0] = True
+            new_g[1:] = (bke[1:] != bke[:-1]) | (rle[1:] != rle[:-1])
+        first = np.nonzero(new_g)[0]
+        last = np.append(first[1:] - 1, n - 1) if len(first) else first
+        gbg = bkt_grp[o2[first]]
+        ubg = ub_e[o2[first]]
+        rlg = rle[first]
+        p0 = gbg * S + sq[first]
+        # rl == RL-1 merges with the bucket's trailing pads -> extend to end
+        p1 = gbg * S + np.where(rlg == RL - 1, S - 1, sq[last])
+        n_c = (p1 >> 7) - (p0 >> 7)            # stream-row crossings
+        tot = n_c + 1
+        offs = np.zeros(len(first) + 1, dtype=np.int64)
+        np.cumsum(tot, out=offs[1:])
+        rep = np.repeat(np.arange(len(first)), tot)
+        j = np.arange(int(offs[-1])) - offs[:-1][rep]
+        end_p = np.minimum(p1[rep], ((p0[rep] >> 7) + 1 + j) * 128 - 1)
+        r_ub = ubg[rep]
+        r_prow = end_p >> 7
+        r_el = end_p & 127
+        r_bin = rlg[rep]
+        key = (r_ub << 32) + r_prow * 128 + r_bin % LANES
+        ord2 = np.lexsort((r_el, key))
+        key_s = key[ord2]
+        is_first = np.empty(len(key_s), dtype=bool)
+        if len(key_s):
+            is_first[0] = True
+            is_first[1:] = key_s[1:] != key_s[:-1]
+        grp2 = np.cumsum(is_first) - 1
+        fpos = np.nonzero(is_first)[0]
+        chain = (np.arange(len(key_s)) - fpos[grp2]) if len(key_s) else \
+            np.zeros(0, np.int64)
+        return (r_ub[ord2], r_prow[ord2], r_el[ord2], r_bin[ord2], chain,
+                rep[ord2], o2, new_g, p0, first)
+
+    for _ in range(3):
+        (r_ub, r_prow, r_el, r_bin, chain, run_grp, o2, new_g, p0,
+         first) = compute_runs()
+        if int(chain.max(initial=0)) < K_TARGET:
             break
-    n_tiles = N // (8 * w_a)
-    cb_ids = ((np.arange(n_tiles) * 8 * w_a) // (NU_pad * S)).astype(np.int32)
-
-    # ---- stage-B layout -----------------------------------------------------
-    # slot -> (cb, unit, seq) -> B position (brow, lane)
-    s_cb = slot_cb
-    s_rem = np.arange(N) % (NU_pad * S)
-    s_ub = s_rem // S
-    s_seq = s_rem % S
-    q = s_cb * S + s_seq
-    j = q // LANES
-    lane = q % LANES
-    if ru == 1:
-        # 8 slabs per kernel block, j-interleaved (min-tile outputs)
-        brow = (s_ub // 8) * (8 * G) + j * 8 + (s_ub % 8)
-    else:
-        # one slab per kernel block; output is the unit's (8, 128) y rows
-        brow = s_ub * G + j
-
-    B_rows = NU_pad * G
-    rl_b = np.full((B_rows, LANES), RL - 1, dtype=np.int64)
-    real_b = np.zeros((B_rows, LANES), dtype=bool)
-    bucket_start_b = np.zeros((B_rows, LANES), dtype=bool)
-    rl_b[brow, lane] = rl_slot
-    real_b[brow, lane] = real
-    bucket_start_b[brow, lane] = (s_seq == 0)
-
-    prev_rl = np.empty_like(rl_b)
-    prev_rl[:, 0] = -1
-    prev_rl[:, 1:] = rl_b[:, :-1]
-    heads_b = bucket_start_b | (rl_b != prev_rl)
-    heads_b[:, 0] = True
-
-    nxt_head = np.empty_like(heads_b)
-    nxt_head[:, -1] = True
-    nxt_head[:, :-1] = heads_b[:, 1:]
-    ends_b = nxt_head                                   # last element of each run
-
-    # runs: (brow, end_lane, bin); keep runs containing >= 1 real slot
-    run_id_flat = np.cumsum(heads_b.reshape(-1)) - 1
-    run_real = np.zeros(int(run_id_flat[-1]) + 1 if B_rows else 1, dtype=bool)
-    np.logical_or.at(run_real, run_id_flat, real_b.reshape(-1))
-    er, el = np.nonzero(ends_b)
-    run_ids = run_id_flat.reshape(B_rows, LANES)[er, el]
-    keep = run_real[run_ids]
-    er, el = er[keep], el[keep]
-    bins = rl_b[er, el]
-
-    # collision chain: k-th run of (brow, bin)
-    okey = er * RL + bins
-    oorder = np.lexsort((el, okey))
-    run_ids_s = run_ids[keep][oorder]
-    er_s, el_s, bins_s, okey_s = er[oorder], el[oorder], bins[oorder], okey[oorder]
-    is_first = np.empty(len(okey_s), dtype=bool)
-    if len(okey_s):
-        is_first[0] = True
-        is_first[1:] = okey_s[1:] != okey_s[:-1]
-    grp = np.cumsum(is_first) - 1
-    first_pos = np.nonzero(is_first)[0]
-    chain = np.arange(len(okey_s)) - first_pos[grp] if len(okey_s) else \
-        np.zeros(0, np.int64)
-
-    # Cap the collision-chain depth: runs beyond the VMEM-aware cap would blow
-    # the stage-B idx block, so their entries overflow into BSR.
-    k_lim = k_cap(G, floor=1 if ru == 8 else 4)  # grouped idx = K·8·G rows
-    if chain.size and chain.max() >= k_lim:
-        bad_runs = np.zeros(int(run_id_flat[-1]) + 1, dtype=bool)
-        bad_runs[run_ids_s[chain >= k_lim]] = True
-        slot_bad_b = bad_runs[run_id_flat].reshape(B_rows, LANES) & real_b
-        ent_b = np.full(B_rows * LANES, -1, dtype=np.int64)
-        ent_b[brow[slot] * LANES + lane[slot]] = np.arange(nnz_in)
-        bad_ent = ent_b[np.nonzero(slot_bad_b.reshape(-1))[0]]
-        bad_ent = bad_ent[bad_ent >= 0]
-        over_rows.append(rows[order][bad_ent])
-        over_cols.append(cols[order][bad_ent])
-        over_vals.append(coo.val[order][bad_ent])
-        val_a[slot[bad_ent]] = 0        # excluded from the grid path (+ to_coo)
-        routed = chain < k_lim
-        er_s, el_s, bins_s, chain = (er_s[routed], el_s[routed],
-                                     bins_s[routed], chain[routed])
-        run_ids_s = run_ids_s[routed]
+        bad_groups = np.unique(run_grp[chain >= K_TARGET])
+        gi = np.cumsum(new_g) - 1              # group id per sorted entry
+        bad_mask = np.zeros(nnz, dtype=bool)
+        bad_mask[o2] = np.isin(gi, bad_groups)
+        assign_ghosts(bad_mask)
     K = int(chain.max(initial=0)) + 1
+    itemsize = 2 if ru == 8 else 1
 
-    # Longest run actually picked by idx — the stage-B scan only needs to
-    # cover that distance (shallow buckets skip most of the log2(128) steps).
-    run_len = np.bincount(run_id_flat)
-    max_run = int(run_len[run_ids_s].max(initial=1)) if run_ids_s.size else 1
+    # ---- final geometry -------------------------------------------------------
+    G_tot, n_chunks = _align_groups(next_ghost, NU_pad, S, ru)
+    n_ghost = G_tot - n_grp
+    N = G_tot * NU_pad * S
+    if N > max(PAD_LIMIT * max(nnz, 1), MIN_SLOTS):
+        raise ValueError(
+            f"bkt: padded grid {N} slots vs nnz {nnz} exceeds PAD_LIMIT — "
+            "matrix too hyper-sparse for dense bucketing; use csr/css")
+    G = G_tot * S // LANES
+    k_lim = k_cap(8 * (G // n_chunks) if ru == 8 else G, itemsize, floor=1)
+    if K > k_lim:
+        raise ValueError(
+            f"bkt: collision chains exceed the VMEM cap ({K} > {k_lim}); "
+            f"matrix structure unsuited to bkt_row_group={cfg.bkt_row_group}"
+            " — try the other row group or csr/css")
 
-    from . import bsr as bsr_mod
+    # group → member col-blocks, ghosts inherit their parent's members
+    mem_tab = hm.zeros((G_tot, m), np.int32)
+    mem_tab[:n_grp] = base_members
+    gp = np.concatenate(ghost_parent) if ghost_parent else \
+        np.zeros(0, np.int64)
+    mem_tab[n_grp: n_grp + len(gp)] = base_members[gp]
 
-    over_coo = COOMatrix.from_triplets(
-        n_row, n_col, np.concatenate(over_rows), np.concatenate(over_cols),
-        np.concatenate(over_vals), index_bits=cfg.index_bits, sort=True)
-    overflow_state = bsr_mod.convert(over_coo, cfg)
+    # ---- slot arrays (stage A) -----------------------------------------------
+    slot = (bkt_grp * NU_pad + ub_e) * S + seq
+    slot_grp = hm.arange(N) // (NU_pad * S)
+    lane_a = hm.zeros(N, np.int64)                   # pad slots: lane 0
+    src_a = hm.zeros(N, np.int8)                     # pad slots: member 0
+    val_a = hm.zeros(N, cfg.np_dtype)
+    rl_slot = hm.full(N, RL - 1, np.int64)           # pad slots sort/merge last
+    lane_a[slot] = col_e % LANES
+    src_a[slot] = j_e
+    val_a[slot] = val_e
+    rl_slot[slot] = rl_e
 
+    # m member x-row ids per W_A-slot sublane row (group-pure by alignment)
+    row_grp = hm.arange(N // W_A) // ((NU_pad * S) // W_A)
+    members_flat = hm.astype(mem_tab[row_grp].reshape(-1), np.int32)
+
+    # ---- stage-B stream row of each run / slot --------------------------------
+    def to_brow(u, prow):
+        if ru == 1:
+            return (u // 8) * (8 * G) + prow * 8 + (u % 8)
+        return u * G + prow
+
+    # hm1: per slot, the lane of its run's head − 1 (−1 at lane-0 heads) —
+    # stage B computes run totals as MXU-prefix P[end] − P[hm1].  Heads sit at
+    # stream-row starts (lane 0), bucket starts, and (bucket, rl) group starts.
+    B_rows = NU_pad * G
+    heads_b = hm.zeros((B_rows, LANES), bool)
+    heads_b[:, 0] = True
+    bs_p = hm.arange(G_tot) * S                      # bucket starts, any unit
+    bs_units = np.repeat(np.arange(NU_pad, dtype=np.int64), G_tot)
+    bs_pp = np.tile(bs_p, NU_pad)
+    heads_b[to_brow(bs_units, bs_pp >> 7), bs_pp & 127] = True
+    g_units = ub_e[o2[first]]
+    heads_b[to_brow(g_units, p0 >> 7), p0 & 127] = True
+    lane_grid = np.broadcast_to(np.arange(LANES, dtype=np.int64),
+                                (B_rows, LANES))
+    head_lane = np.maximum.accumulate(
+        np.where(heads_b, lane_grid, -1), axis=1)
+    hm1_b = hm.astype(head_lane - 1, np.int8)
+
+    # ---- idx: K static routing planes ----------------------------------------
+    er = to_brow(r_ub, r_prow)
     if ru == 1:
         blk = 8 * G
         n_blocks = NU_pad // 8
-        idx_full = np.full((n_blocks * K * blk, LANES), -1, dtype=np.int32)
-        blk_i = er_s // blk
-        row_in_blk = er_s % blk
-        idx_full[(blk_i * K + chain) * blk + row_in_blk, bins_s] = el_s
+        idx_full = hm.full((n_blocks * K * blk, LANES), -1, np.int8)
+        blk_i = er // blk
+        row_in_blk = er % blk
+        idx_full[(blk_i * K + chain) * blk + row_in_blk, r_bin] = r_el
     else:
-        # slab-major, (k, σ)-minor planes of (G, 128); bin = σ·128 + lane
-        idx_full = np.full((NU_pad * K * 8 * G, LANES), -1, dtype=np.int32)
-        slab_i = er_s // G
-        row_in = er_s % G
-        sig = bins_s // LANES
-        b_lane = bins_s % LANES
-        idx_full[((slab_i * K + chain) * 8 + sig) * G + row_in, b_lane] = el_s
+        # slab-major, k-minor planes of (G, 128); entry σ·128 + end_lane
+        idx_full = hm.full((NU_pad * K * G, LANES), -1, np.int16)
+        slab_i = er // G
+        row_in = er % G
+        idx_full[(slab_i * K + chain) * G + row_in, r_bin % LANES] = \
+            (r_bin // LANES) * LANES + r_el
 
-    lane_a = col_a - slot_cb * LANES          # in-block column, 0..127
     return BKTState(
-        n_row=n_row, n_col=n_col, nnz=nnz, rb_pad=RB_pad, cb_pad=CB_pad,
-        s=S, g=G, k=K, n_slots=N, overflow_nnz=over_coo.nnz,
-        cb_ids=device_put(cb_ids),
-        lane=device_put(lane_a.reshape(N // w_a, w_a).astype(np.int8)),
-        val=device_put(val_a.reshape(N // w_a, w_a)),
-        heads=device_put(heads_b.astype(np.int8)),
-        idx=device_put(idx_full.astype(np.int8)),
-        lo_a=device_put(rl_slot.reshape(N // w_a, w_a).astype(np.int32)),
-        overflow=overflow_state,
+        n_row=n_row, n_col=n_col, nnz=nnz, rb_pad=RB_pad, cb=CB,
+        g_tot=G_tot, s=S, g=G, k=K, m=m, n_slots=N, n_ghost=n_ghost,
+        members=device_put(members_flat),
+        mem_tab=device_put(mem_tab),
+        lane=device_put(hm.astype(lane_a.reshape(N // W_A, W_A), np.int8)),
+        src=device_put(src_a.reshape(N // W_A, W_A)),
+        val=device_put(val_a.reshape(N // W_A, W_A)),
+        hm1=device_put(hm1_b.reshape(NU_pad, G, LANES) if ru == 8
+                       else hm1_b),
+        idx=device_put(idx_full.reshape(NU_pad, K, G, LANES) if ru == 8
+                       else idx_full),
+        lo_a=device_put(hm.astype(rl_slot.reshape(N // W_A, W_A), np.int32)),
         balanced=balanced, src_lane=src_lane, src_chunk=src_chunk,
-        row_group=RL, max_run=max_run,
+        row_group=RL, n_chunks=n_chunks,
     )
 
 
@@ -387,75 +535,51 @@ def spmv(state: BKTState, x):
     from ..ops.pallas.bucket import (block_gather_mul, bucket_reduce,
                                      bucket_reduce_grouped)
 
-    RB_pad, CB_pad, S, G = state.rb_pad, state.cb_pad, state.s, state.g
+    RB_pad, CB, G_tot, S, G = (state.rb_pad, state.cb, state.g_tot,
+                               state.s, state.g)
     ru = state.row_group // LANES
     NU_pad = RB_pad // ru
-    xp = jnp.zeros((CB_pad * LANES,), x.dtype).at[: state.n_col].set(x)
-    prod = block_gather_mul(state.cb_ids, state.lane, state.val,
-                            xp.reshape(CB_pad, LANES))
-    # cb-major -> unit-major relayout (pure transpose, no gather).  When S
-    # divides 128 the q = cb·S + seq split factors across the lane boundary,
-    # so ONE 5-D transpose does the whole relayout (~1.9× faster on chip).
-    fused = S <= LANES and LANES % S == 0 and CB_pad % (LANES // S) == 0
-    fused_big = S > LANES and S % LANES == 0   # lanes = seq % 128 directly
-    if fused and ru == 1:
-        c2n = LANES // S
-        p = (prod.reshape(CB_pad // c2n, c2n, NU_pad // 8, 8, S)
-             .transpose(2, 0, 3, 1, 4).reshape(NU_pad * G, LANES))
-    elif fused:
-        c2n = LANES // S
-        p = (prod.reshape(CB_pad // c2n, c2n, NU_pad, S)
-             .transpose(2, 0, 1, 3).reshape(NU_pad * G, LANES))
-    elif fused_big and ru == 1:
+    xp = jnp.zeros((CB * LANES,), x.dtype).at[: state.n_col].set(x)
+    prod = block_gather_mul(state.members, state.lane, state.src, state.val,
+                            xp.reshape(CB, LANES), state.m)
+    if ru == 8:
+        # stage B reads the group-major grid directly (strided BlockSpec)
+        y8 = bucket_reduce_grouped(prod.reshape(G_tot, NU_pad, S),
+                                   state.hm1, state.idx, NU_pad,
+                                   state.n_chunks)
+        y_tab = y8                     # row u·8+σ ↔ rb index u·8+σ
+    else:
+        # group-major -> j-interleaved rb-major relayout: S is a multiple of
+        # 128 so every move is row-granular (XLA transposes at 142 G elem/s)
+        flat = prod.reshape(-1)
         sh = S // LANES
-        p = (prod.reshape(CB_pad, NU_pad // 8, 8, sh, LANES)
+        p = (flat.reshape(G_tot, NU_pad // 8, 8, sh, LANES)
              .transpose(1, 0, 3, 2, 4).reshape(NU_pad * G, LANES))
-    elif fused_big:
-        sh = S // LANES
-        p = (prod.reshape(CB_pad, NU_pad, sh, LANES)
-             .transpose(1, 0, 2, 3).reshape(NU_pad * G, LANES))
-    elif ru == 1:
-        p = prod.reshape(CB_pad, NU_pad, S).transpose(1, 0, 2)
-        p = p.reshape(NU_pad // 8, 8, G, LANES).transpose(0, 2, 1, 3)
-        p = p.reshape(NU_pad * G, LANES)
-    else:
-        p = (prod.reshape(CB_pad, NU_pad, S).transpose(1, 0, 2)
-             .reshape(NU_pad * G, LANES))
-    if ru == 1:
-        y_tab = bucket_reduce(p, state.heads, state.idx, NU_pad,
-                              max_run=state.max_run)
-    else:
-        y_tab = bucket_reduce_grouped(p, state.heads, state.idx, NU_pad,
-                                      max_run=state.max_run)
+        y_tab = bucket_reduce(p, state.hm1, state.idx, NU_pad)
     if state.balanced:
         from ..ops.pallas.bucket import lane_unpermute
 
         rbu = state.src_lane.shape[1]
         y_t = jnp.zeros((LANES, rbu), y_tab.dtype).at[:, :RB_pad].set(y_tab.T)
         y_tab = lane_unpermute(y_t, state.src_lane, state.src_chunk)[:, :RB_pad].T
-    y = y_tab.reshape(-1)[: state.n_row]
-    if state.overflow_nnz:
-        from . import bsr as bsr_mod
-
-        y = y + bsr_mod.spmv(state.overflow, x)
-    return y
+    return y_tab.reshape(-1)[: state.n_row]
 
 
 def report_fields(state: BKTState, cfg: Config) -> dict:
-    return {"RB": state.rb_pad, "CB": state.cb_pad, "SlotDepth": state.s,
-            "ChainK": state.k, "OverflowNnz": state.overflow_nnz,
+    return {"RB": state.rb_pad, "ColGroups": state.g_tot,
+            "GroupWidth": state.m, "SlotDepth": state.s,
+            "ChainK": state.k, "GhostGroups": state.n_ghost,
             "PadFactor": round(state.n_slots / max(state.nnz, 1), 3)}
 
 
 def traffic_bytes(state: BKTState, cfg: Config) -> int:
-    from . import bsr as bsr_mod
-
     vsz = np.dtype(cfg.dtype).itemsize
     slots = state.n_slots
-    stage_a = slots * (1 + 2 * vsz)                    # lane(i8) + val + out
-    stage_b = slots * (vsz + 1) + state.k * slots * 1  # prod + heads + idx (i8)
-    over = bsr_mod.traffic_bytes(state.overflow, cfg) if state.overflow_nnz else 0
-    return stage_a + stage_b + state.n_row * vsz + over
+    isz = 2 if state.row_group // LANES == 8 else 1
+    src = slots if state.m > 1 else 0
+    stage_a = slots * (1 + 2 * vsz) + src              # lane + src + val + out
+    stage_b = slots * (vsz + 1) + state.k * slots * isz  # prod + hm1 + idx
+    return stage_a + stage_b + state.n_row * vsz
 
 
 def to_coo(state: BKTState) -> COOMatrix:
@@ -465,8 +589,11 @@ def to_coo(state: BKTState) -> COOMatrix:
     N = state.n_slots
     ru = state.row_group // LANES
     nu_pad = state.rb_pad // ru
-    slot_cb = np.arange(N) // (nu_pad * state.s)
-    col = slot_cb * LANES + np.asarray(state.lane).reshape(-1).astype(np.int64)
+    slot_grp = np.arange(N) // (nu_pad * state.s)
+    mem = np.asarray(state.mem_tab).astype(np.int64)
+    j = np.asarray(state.src).reshape(-1).astype(np.int64)
+    col = (mem[slot_grp, j] * LANES
+           + np.asarray(state.lane).reshape(-1).astype(np.int64))
     group = (np.arange(N) % (nu_pad * state.s)) // state.s
     rows = group * state.row_group + rl
     if state.balanced:
@@ -479,12 +606,5 @@ def to_coo(state: BKTState) -> COOMatrix:
         rows = inv[lo, s_rb] * LANES + lo
     keep = val != 0
     rows, col, val = rows[keep], col[keep], val[keep]
-    if state.overflow_nnz:
-        from . import bsr as bsr_mod
-
-        oc = bsr_mod.to_coo(state.overflow)
-        rows = np.concatenate([rows, oc.row.astype(rows.dtype)])
-        col = np.concatenate([col, oc.col.astype(col.dtype)])
-        val = np.concatenate([val, oc.val])
     return COOMatrix.from_triplets(state.n_row, state.n_col, rows, col, val,
                                    sort=True, sum_duplicates=True)

@@ -5,7 +5,7 @@ facto resume unit is the sweep lockfile (SURVEY §5.3-5.4), and the expensive
 artifact worth persisting here is the OptimizeProblem output: format conversion
 (host-side sorts, bucket planning, level scheduling) can take minutes at
 10⁸-nnz scale while SpMV takes microseconds.  ``save_state``/``load_state``
-serialize any registered format state — nested states (bkt's BSR overflow,
+serialize any registered format state — nested states (hyb's dia + residual,
 auto's wrapper) included — as an .npz of array leaves + a JSON structure
 descriptor, fingerprinted by (matrix shape, nnz, Config fields) so a stale
 cache is never silently reused.

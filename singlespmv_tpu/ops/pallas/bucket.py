@@ -6,20 +6,26 @@ random-512 at 0.1 GFLOPS on CPU, BASELINE.md) nearly every nonzero is its own
 row-run, so any segment-sum combine is scatter-bound.  This design removes every
 dynamic indexed op except the fast 128-lane ``take_along_axis``:
 
-- The nnz space is bucketed by (row-block rb = row//128, col-block cb = col//128)
-  into a dense (CB, RB, S) slot grid (S = padded bucket depth), laid out cb-major,
-  slots lo-sorted (lo = row % 128) within each bucket.
-- **Stage A** (grid over stream tiles, one cb each): lane-gathers x and writes
-  val·x products linearly — no scatter, the layout IS the destination.
-- One XLA transpose re-views the grid rb-major (bandwidth-bound, no gather), with
-  8 row-block slabs interleaved j-major per kernel block.
-- **Stage B** (grid over groups of 8 rb): per sublane, a segmented inclusive
-  lane-scan of the products, then K static ``take_along_axis`` passes (indices < 0
-  mean masked) pick each (sublane, row-bin) run total; a log-tree add over the G
-  sublanes of each slab yields the 128 row sums.  The combine never scatters.
+- The nnz space is bucketed by (row unit = row // row_group, col-block
+  cb = col // 128) into a dense (CB, NU, S) slot grid (S = padded bucket depth),
+  cb-major, slots row-local-sorted within each bucket.  Buckets that outgrow S
+  spill into *ghost columns* — appended col-blocks whose x rows duplicate the
+  original cb's — so overflow rides the same two kernels (no side path).
+- **Stage A** (grid over (8, W) stream tiles, per-sublane-row col-block ids
+  scalar-prefetched): lane-gathers x and writes val·x products linearly — no
+  scatter, the layout IS the destination.
+- **Stage B**: per row-unit slab, an *MXU prefix sum* (v @ upper-triangular
+  ones — the measured Hillis–Steele lane scan runs only 2-7 G elem/s, the MXU
+  does this at matmul rate) gives P; run totals are P[end] − P[head−1] via two
+  lane-gathers (per-slot ``hm1`` = lane of run head − 1); K static masked
+  lane-gather passes route each run total to its row bin; a sublane reduction
+  yields the unit's row sums.  The combine never scatters.
+  Grouped mode (row_group=1024) reads the cb-major product grid directly
+  through a strided (CB, 1, S) BlockSpec — the round-1 XLA relayout pass
+  (measured 600 us on g7jac200sc, 10x stage A) is gone.
 
-Everything data-dependent is precomputed on the host at convert time; the kernels
-see only static index arrays.
+Everything data-dependent is precomputed on the host at convert time; the
+kernels see only static index arrays.
 """
 from __future__ import annotations
 
@@ -31,7 +37,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.types import cdiv
 
 LANES = 128
-TILE = 8 * LANES     # stage-A tile elements
+W_A = 1024           # stage-A tile width (microbench: lane-gather 64 G elem/s
+                     # at w=1024 vs 12.9 at w=128 — per-op overhead dominates)
 
 
 def _use_interpret() -> bool:
@@ -40,67 +47,128 @@ def _use_interpret() -> bool:
 
 # ----------------------------------------------------------------- stage A ---
 
-def _mul_kernel(cbs_ref, lane_ref, val_ref, x_ref, out_ref):
-    tile = pl.program_id(0)
+def _mul_kernel(mem_ref, lane_ref, val_ref, x_ref, out_ref):
+    t = pl.program_id(0)
     w = lane_ref.shape[1]
-    g = 8 * w // LANES
-    cb = cbs_ref[tile]
-    xrow = x_ref[pl.ds(cb, 1), :]
-    xb = jnp.broadcast_to(xrow, (g, LANES))
+    rep = w // LANES
+    g = 8 * rep
+    rows = [x_ref[pl.ds(mem_ref[t * 8 + r], 1), :] for r in range(8)]
+    xb = jnp.concatenate(rows, axis=0)           # (8, 128)
+    xb = jnp.broadcast_to(xb[:, None, :], (8, rep, LANES)).reshape(g, LANES)
     lanes = lane_ref[:].astype(jnp.int32).reshape(g, LANES)
     gathered = jnp.take_along_axis(xb, lanes, axis=1)
     out_ref[:] = (val_ref[:].reshape(g, LANES) * gathered).reshape(8, w)
 
 
-def block_gather_mul(tile_cbs, lane, val, x_table):
-    """products[i] = val[i] · x[cb·128 + lane[i]] over a cb-major (H, 128)
-    stream; ``lane`` is the in-block column (int8 — 4x less index traffic
-    than absolute int32 columns)."""
+def _mul_kernel_m(mem_ref, lane_ref, src_ref, val_ref, x_ref, out_ref, *,
+                  m: int):
+    t = pl.program_id(0)
+    w = lane_ref.shape[1]
+    rep = w // LANES
+    g = 8 * rep
+    lanes = lane_ref[:].astype(jnp.int32).reshape(g, LANES)
+    src = src_ref[:].astype(jnp.int32).reshape(g, LANES)
+    gathered = jnp.zeros((g, LANES), val_ref.dtype)
+    for j in range(m):
+        rows = [x_ref[pl.ds(mem_ref[(t * 8 + r) * m + j], 1), :]
+                for r in range(8)]
+        xb = jnp.concatenate(rows, axis=0)
+        xb = jnp.broadcast_to(xb[:, None, :],
+                              (8, rep, LANES)).reshape(g, LANES)
+        gj = jnp.take_along_axis(xb, lanes, axis=1)
+        gathered = jnp.where(src == j, gj, gathered)
+    out_ref[:] = (val_ref[:].reshape(g, LANES) * gathered).reshape(8, w)
+
+
+def block_gather_mul(members, lane, src, val, x_table, m: int = 1):
+    """products[i] = val[i] · x[member·128 + lane[i]] over a group-major (H, W)
+    stream.
+
+    Buckets are (column-GROUP, row-unit): a group packs up to ``m`` col-blocks
+    (bin-packed at convert so bucket fill stays near the 128-slot row size on
+    hyper-sparse inputs); ``src`` picks each slot's member (m-way select of m
+    wide lane-gathers — measured: wide takes ~60-200 G elem/s, so m takes on
+    m-fold fewer slots beat 1 take on m-fold padding).
+
+    members: (H·8·m,) int32 — m x-row ids per (W-slot) sublane row; every
+             sublane row is group-pure (convert aligns NU_pad·S % W == 0).
+    lane:    (H, W) int8 in-block column; src: (H, W) int8 member index.
+    """
+    import functools
+
     h, w = lane.shape
     spec = lambda: pl.BlockSpec((8, w), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)
+    if m == 1:
+        return pl.pallas_call(
+            _mul_kernel,
+            out_shape=jax.ShapeDtypeStruct((h, w), val.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(cdiv(h, 8),),
+                in_specs=[spec(), spec(),
+                          pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=spec(),
+            ),
+            interpret=_use_interpret(),
+        )(members, lane, val, x_table)
     return pl.pallas_call(
-        _mul_kernel,
+        functools.partial(_mul_kernel_m, m=m),
         out_shape=jax.ShapeDtypeStruct((h, w), val.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(cdiv(h, 8),),
-            in_specs=[spec(), spec(), pl.BlockSpec(memory_space=pltpu.VMEM)],
+            in_specs=[spec(), spec(), spec(),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=spec(),
         ),
         interpret=_use_interpret(),
-    )(tile_cbs, lane, val, x_table)
+    )(members, lane, src, val, x_table)
 
 
 # ----------------------------------------------------------------- stage B ---
 
-def _seg_scan(v, f, max_run: int):
-    """Segmented Hillis–Steele inclusive lane scan, truncated at the longest
-    run: after step d coverage is 2d, so ``while d < max_run`` suffices —
-    shallow buckets (hyper-sparse inputs) skip most of the log2(128) steps."""
-    d = 1
-    while d < min(max_run, LANES):
-        vz = jnp.concatenate([jnp.zeros_like(v[:, :d]), v[:, :-d]], axis=1)
-        fz = jnp.concatenate([jnp.ones_like(f[:, :d]), f[:, :-d]], axis=1)
-        v = jnp.where(f > 0, v, v + vz)
-        f = jnp.maximum(f, fz)
-        d *= 2
-    return v
+def _mxu_prefix(v):
+    """Row-wise inclusive prefix sum via one (·,128)@(128,128) MXU matmul.
+
+    precision=HIGHEST: the TPU MXU's default single-pass f32 matmul truncates
+    inputs to bf16 (measured: 2e-3 relative error — fails the 1e-6 oracle);
+    the multi-pass mode recovers ~f32 accuracy.
+    """
+    r = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    acc = jnp.float32 if v.dtype in (jnp.bfloat16, jnp.float16,
+                                     jnp.float32) else v.dtype
+    tri = (r <= c).astype(v.dtype)
+    p = jnp.dot(v, tri, preferred_element_type=acc,
+                precision=jax.lax.Precision.HIGHEST)
+    return p.astype(v.dtype)
 
 
-def _reduce_kernel(prod_ref, heads_ref, idx_ref, out_ref, *, max_run: int):
-    """One (8·G, 128) block = 8 rb slabs interleaved j-major (row r ↔ sublane
-    j = r//8 of slab s = r%8); emits the 8 slabs' (8, 128) row sums."""
+def _run_totals(v, hm1):
+    """W[l] = P[l] − P[hm1[l]] — at a run's end lane this is the run total.
+    hm1 = lane of the run's head − 1 (int8; −1 at row-start runs → subtract 0).
+    """
+    p = _mxu_prefix(v)
+    h = hm1.astype(jnp.int32)
+    ph = jnp.take_along_axis(p, jnp.maximum(h, 0), axis=1)
+    return p - jnp.where(h >= 0, ph, jnp.zeros_like(ph))
+
+
+def _reduce_kernel(prod_ref, hm1_ref, idx_ref, out_ref):
+    """One (8·G, 128) block = 8 row-block slabs interleaved j-major (row r ↔
+    sublane j = r//8 of slab s = r%8); emits the 8 slabs' (8, 128) row sums.
+    idx: K stacked (8G, 128) int8 planes — idx[k][row, bin] = end lane of the
+    k-th run with that bin in the row, or <0 masked."""
     rows = prod_ref.shape[0]
     k = idx_ref.shape[0] // rows
 
-    # heads stored int8 (traffic); widen before compare — Mosaic has no i8 cmpi
-    v = _seg_scan(prod_ref[:], heads_ref[:].astype(jnp.int32), max_run)
+    w = _run_totals(prod_ref[:], hm1_ref[:])
 
-    acc = jnp.zeros((rows, LANES), v.dtype)
+    acc = jnp.zeros((rows, LANES), w.dtype)
     for kk in range(k):
         idx = idx_ref[kk * rows:(kk + 1) * rows, :].astype(jnp.int32)
-        picked = jnp.take_along_axis(v, jnp.maximum(idx, 0), axis=1)
+        picked = jnp.take_along_axis(w, jnp.maximum(idx, 0), axis=1)
         acc = acc + jnp.where(idx >= 0, picked, 0.0)  # idx < 0 ⇒ masked slot
 
     # j-major interleave ⇒ slab s's sublanes live at rows ≡ s (mod 8):
@@ -116,17 +184,14 @@ def _reduce_kernel(prod_ref, heads_ref, idx_ref, out_ref, *, max_run: int):
     out_ref[:] = cur
 
 
-def bucket_reduce(products, heads, idx, rb_pad: int, max_run: int = LANES):
+def bucket_reduce(products, hm1, idx, rb_pad: int):
     """Row-block reduction of the rb-major, j-interleaved product stream.
 
-    products/heads: (RB_pad·G, 128); block i covers rows [i·8G, (i+1)·8G).
-    idx:            (K·RB_pad·G, 128) — per block, K passes stacked (block-major,
-                    K-minor): block i's pass k occupies rows
-                    [(i·K + k)·8G, (i·K + k + 1)·8G).  idx < 0 ⇒ masked.
+    products/hm1: (RB_pad·G, 128); block i covers rows [i·8G, (i+1)·8G).
+    idx:          (K·RB_pad·G, 128) int8 — per block, K passes stacked
+                  (block-major, K-minor).  idx < 0 ⇒ masked.
     Returns (RB_pad, 128) row sums.
     """
-    import functools
-
     rows, _ = products.shape
     g = rows // rb_pad
     blk = 8 * g
@@ -136,7 +201,7 @@ def bucket_reduce(products, heads, idx, rb_pad: int, max_run: int = LANES):
         return (i, 0)
 
     return pl.pallas_call(
-        functools.partial(_reduce_kernel, max_run=max_run),
+        _reduce_kernel,
         out_shape=jax.ShapeDtypeStruct((rb_pad, LANES), products.dtype),
         grid=(cdiv(rb_pad, 8),),
         in_specs=[
@@ -146,7 +211,75 @@ def bucket_reduce(products, heads, idx, rb_pad: int, max_run: int = LANES):
         ],
         out_specs=pl.BlockSpec((8, LANES), im, memory_space=pltpu.VMEM),
         interpret=_use_interpret(),
-    )(products, heads, idx)
+    )(products, hm1, idx)
+
+
+# ----------------------------------------------- stage B, 1024-row groups ---
+
+def _reduce_grouped_kernel(prod_ref, hm1_ref, idx_ref, out_ref):
+    """One grid step = 8 row-unit slabs × one col-block chunk, read straight
+    from the cb-major grid.  S = 128 exactly: a bucket IS a stream row and the
+    slab's row index IS the col-block — prod_ref[:, i, :] is the slab chunk
+    with no reshape (Mosaic cannot repack ragged (·, S) rows into lanes; the
+    S=128 slice runs at 215 G elem/s, measured).  idx is K planes of (G, 128)
+    int16 per slab with combined routing: entry = σ·128 + end_lane (σ = bin
+    sublane 0..7), <0 masked.  Output accumulates over col-block chunks."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    k = idx_ref.shape[1]
+    blocks = []
+    for i in range(8):
+        v = prod_ref[:, i, :]
+        w = _run_totals(v, hm1_ref[i])
+        outs = [jnp.zeros((1, LANES), w.dtype) for _ in range(8)]
+        for kk in range(k):
+            e = idx_ref[i, kk].astype(jnp.int32)
+            valid = e >= 0
+            lanes = jnp.where(valid, e, 0) & (LANES - 1)
+            picked = jnp.take_along_axis(w, lanes, axis=1)
+            sig = e >> 7
+            for sigma in range(8):
+                m = valid & (sig == sigma)
+                outs[sigma] = outs[sigma] + jnp.sum(
+                    jnp.where(m, picked, 0.0), axis=0, keepdims=True)
+        blocks.append(jnp.concatenate(outs, axis=0))
+    out_ref[:] += jnp.concatenate(blocks, axis=0)
+
+
+def bucket_reduce_grouped(prod_grid, hm1, idx, nu_pad: int, n_chunks: int = 1):
+    """Row-unit reduction over the cb-major (CB, NU_pad, 128) product grid.
+
+    prod_grid: (CB, NU_pad, 128) — stage-A output viewed 3-D; each grid step
+               DMAs the strided block [j·CB/n : (j+1)·CB/n, 8i:8i+8, :].
+    hm1:       (NU_pad, CB, 128) int8 — slab-major; row index = col-block.
+    idx:       (NU_pad, K, CB, 128) int16 — entry σ·128 + end_lane, <0 masked.
+    n_chunks:  col-block chunking (VMEM bound); CB % n_chunks == 0.
+    Returns (NU_pad·8, 128) sums: row u·8+σ = unit u's rows σ·128..σ·128+127.
+    """
+    cb, nu, _ = prod_grid.shape
+    k = idx.shape[1]
+    ch = cb // n_chunks
+
+    return pl.pallas_call(
+        _reduce_grouped_kernel,
+        out_shape=jax.ShapeDtypeStruct((nu_pad * 8, LANES), prod_grid.dtype),
+        grid=(nu_pad // 8, n_chunks),
+        in_specs=[
+            pl.BlockSpec((ch, 8, LANES), lambda u, j: (j, u, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ch, LANES), lambda u, j: (u, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, k, ch, LANES), lambda u, j: (u, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((64, LANES), lambda u, j: (u, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_use_interpret(),
+    )(prod_grid, hm1, idx)
 
 
 # ------------------------------------------------------- lane unpermute ------
@@ -178,68 +311,3 @@ def lane_unpermute(y_t, src_lane, src_chunk):
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_use_interpret(),
     )(y_t, src_lane, src_chunk)
-
-
-# ----------------------------------------------- stage B, 1024-row groups ---
-
-def _reduce_grouped_kernel(prod_ref, heads_ref, idx_ref, out_ref, *,
-                           max_run: int):
-    """One slab = a 1024-row group: (G, 128) products → (8, 128) row sums.
-
-    idx holds K×8 planes of (G, 128) per slab, (k, σ)-major: pass (k, σ) routes
-    runs with bin = σ·128 + lane.  Fewer, deeper buckets than the 128-row mode
-    (8× fewer grid cells) — the hyper-sparse remedy."""
-    g = prod_ref.shape[0]
-    k8 = idx_ref.shape[0] // g           # K * 8
-
-    # heads stored int8 (traffic); widen before compare — Mosaic has no i8 cmpi
-    v = _seg_scan(prod_ref[:], heads_ref[:].astype(jnp.int32), max_run)
-
-    rows_out = []
-    for sigma in range(8):
-        acc = jnp.zeros((g, LANES), v.dtype)
-        for kk in range(k8 // 8):
-            plane = (kk * 8 + sigma)
-            idx = idx_ref[plane * g:(plane + 1) * g, :].astype(jnp.int32)
-            picked = jnp.take_along_axis(v, jnp.maximum(idx, 0), axis=1)
-            acc = acc + jnp.where(idx >= 0, picked, 0.0)
-        cur = acc
-        n = g
-        while n > 1:
-            half = n // 2
-            top = cur[:half, :] + cur[half: 2 * half, :]
-            rest = cur[2 * half:, :]
-            cur = jnp.concatenate([top, rest], axis=0) if rest.shape[0] else top
-            n = cur.shape[0]
-        rows_out.append(cur)
-    out_ref[:] = jnp.concatenate(rows_out, axis=0)
-
-
-def bucket_reduce_grouped(products, heads, idx, rbg_pad: int,
-                          max_run: int = LANES):
-    """Row-group reduction: slabs of (G, 128) → (RBG_pad·8, 128) row sums.
-
-    products/heads: (RBG_pad·G, 128), slab i at rows [i·G, (i+1)·G).
-    idx: (K·8·RBG_pad·G, 128) — slab-major, (k, σ)-minor planes of (G, 128).
-    """
-    import functools
-
-    rows, _ = products.shape
-    g = rows // rbg_pad
-    k8 = idx.shape[0] // rows
-
-    def im(i, *_):
-        return (i, 0)
-
-    return pl.pallas_call(
-        functools.partial(_reduce_grouped_kernel, max_run=max_run),
-        out_shape=jax.ShapeDtypeStruct((rbg_pad * 8, LANES), products.dtype),
-        grid=(rbg_pad,),
-        in_specs=[
-            pl.BlockSpec((g, LANES), im, memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, LANES), im, memory_space=pltpu.VMEM),
-            pl.BlockSpec((k8 * g, LANES), im, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, LANES), im, memory_space=pltpu.VMEM),
-        interpret=_use_interpret(),
-    )(products, heads, idx)

@@ -61,15 +61,37 @@ class TestBucketKernels:
         from singlespmv_tpu.ops.pallas.bucket import block_gather_mul
 
         rng = np.random.default_rng(2)
-        h, b = 16, 4
+        h, w, b = 16, 256, 4
         x = rng.uniform(size=(b, 128))
-        cbs = rng.integers(0, b, size=h // 8).astype(np.int32)
-        lanes = rng.integers(0, 128, size=(h, 128))
-        col = lanes + 128 * np.repeat(cbs.astype(np.int64), 8)[:, None]
-        val = rng.uniform(-1, 1, size=(h, 128))
+        # one col-block per (w-slot) sublane row
+        row_cbs = rng.integers(0, b, size=h).astype(np.int32)
+        lanes = rng.integers(0, 128, size=(h, w))
+        col = lanes + 128 * row_cbs.astype(np.int64)[:, None]
+        val = rng.uniform(-1, 1, size=(h, w))
+        src = np.zeros((h, w), np.int8)
         got = np.asarray(block_gather_mul(
-            jnp.asarray(cbs), jnp.asarray(lanes.astype(np.int8)),
-            jnp.asarray(val), jnp.asarray(x)))
+            jnp.asarray(row_cbs), jnp.asarray(lanes.astype(np.int8)),
+            jnp.asarray(src), jnp.asarray(val), jnp.asarray(x)))
+        np.testing.assert_allclose(got, val * x.reshape(-1)[col], rtol=1e-12)
+
+    def test_block_gather_mul_grouped(self):
+        """m-way member select: each slot gathers from its member's x row."""
+        from singlespmv_tpu.ops.pallas.bucket import block_gather_mul
+
+        rng = np.random.default_rng(12)
+        h, w, b, m = 16, 256, 8, 4
+        x = rng.uniform(size=(b, 128))
+        members = rng.integers(0, b, size=(h, m)).astype(np.int32)
+        lanes = rng.integers(0, 128, size=(h, w))
+        src = rng.integers(0, m, size=(h, w)).astype(np.int8)
+        col = (lanes
+               + 128 * np.take_along_axis(
+                   members.astype(np.int64), src.astype(np.int64), axis=1))
+        val = rng.uniform(-1, 1, size=(h, w))
+        got = np.asarray(block_gather_mul(
+            jnp.asarray(members.reshape(-1)),
+            jnp.asarray(lanes.astype(np.int8)), jnp.asarray(src),
+            jnp.asarray(val), jnp.asarray(x), m))
         np.testing.assert_allclose(got, val * x.reshape(-1)[col], rtol=1e-12)
 
     def test_lane_unpermute(self):
@@ -94,14 +116,62 @@ class TestBucketKernels:
         rb_pad, g, k = 8, 2, 2
         rows = rb_pad * g
         prod = rng.uniform(-1, 1, size=(rows, 128))
-        heads = np.ones((rows, 128), dtype=np.int32)  # every slot its own run
+        # every slot its own run: head at every lane -> hm1[l] = l - 1
+        hm1 = np.broadcast_to(np.arange(-1, 127, dtype=np.int8),
+                              (rows, 128)).copy()
         # route slot (r, l) to bin l (identity), pass 0 only
-        idx = np.full((k * rows, 128), -1, dtype=np.int32)
-        idx[:rows] = np.arange(128)[None, :]
-        got = np.asarray(bucket_reduce(jnp.asarray(prod), jnp.asarray(heads),
+        idx = np.full((k * rows, 128), -1, dtype=np.int8)
+        idx[:rows] = np.arange(128, dtype=np.int8)[None, :]
+        got = np.asarray(bucket_reduce(jnp.asarray(prod), jnp.asarray(hm1),
                                        jnp.asarray(idx), rb_pad))
         # j-major interleave: slab s's sublanes are rows s, s+8, ... s+8(g-1)
         want = np.zeros((rb_pad, 128))
         for s in range(rb_pad):
             want[s] = prod[s::8].sum(axis=0)
         np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_run_totals_vs_segscan(self):
+        """MXU prefix-sum run totals must match the scan-based definition at
+        run ends (runs = maximal same-head segments)."""
+        from singlespmv_tpu.ops.pallas.bucket import _run_totals
+
+        rng = np.random.default_rng(7)
+        rows = 16
+        v = rng.uniform(-1, 1, size=(rows, 128))
+        heads = rng.uniform(size=(rows, 128)) < 0.25
+        heads[:, 0] = True
+        lane = np.arange(128)
+        head_lane = np.maximum.accumulate(np.where(heads, lane, -1), axis=1)
+        hm1 = (head_lane - 1).astype(np.int8)
+        got = np.asarray(_run_totals(jnp.asarray(v), jnp.asarray(hm1)))
+        scan = np_segscan(v, heads)
+        ends = np.ones_like(heads)
+        ends[:, :-1] = heads[:, 1:]
+        np.testing.assert_allclose(got[ends.astype(bool)],
+                                   scan[ends.astype(bool)], rtol=1e-10)
+
+    @pytest.mark.parametrize("n_chunks", [1, 2])
+    def test_bucket_reduce_grouped(self, n_chunks):
+        from singlespmv_tpu.ops.pallas.bucket import bucket_reduce_grouped
+
+        rng = np.random.default_rng(5)
+        cb, nu = 16, 8              # S = 128 fixed: stream row index = cb
+        prod = rng.uniform(-1, 1, size=(cb, nu, 128))
+        # every slot its own run: hm1[l] = l - 1
+        hm1 = np.broadcast_to(np.arange(-1, 127, dtype=np.int8),
+                              (nu, cb, 128)).copy()
+        # route slot (row, l) to bin sigma=row%8, lane l  (one pass)
+        k = 1
+        idx = np.full((nu, k, cb, 128), -1, dtype=np.int16)
+        for u in range(nu):
+            for r in range(cb):
+                idx[u, 0, r] = ((r % 8) * 128
+                                + np.arange(128)).astype(np.int16)
+        got = np.asarray(bucket_reduce_grouped(
+            jnp.asarray(prod), jnp.asarray(hm1), jnp.asarray(idx), nu,
+            n_chunks))
+        want = np.zeros((nu * 8, 128))
+        for u in range(nu):
+            for r in range(cb):
+                want[u * 8 + r % 8] += prod[r, u, :]
+        np.testing.assert_allclose(got, want, rtol=1e-10)
