@@ -14,11 +14,12 @@ def _ensure_loaded():
         return
     _LOADED = True
     from . import (auto, bcoo, bkt, bsr, coo, csr, csr5, css, dense, dia, ell,
-                   hyb, jds, ss)
+                   ellg, hyb, jds, ss)
     from .base import register_format
 
     register_format("auto", auto)
     register_format("hyb", hyb)
+    register_format("ellg", ellg)
     register_format("bkt", bkt)
     register_format("bsr", bsr)
     register_format("coo", coo)

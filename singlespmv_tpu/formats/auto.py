@@ -104,6 +104,23 @@ def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
             sel = est_g["slots"] * (est_g["m"] - 1) / 200e9
             costs["bkt_g"] = _bkt_sec(est_g["slots"], est_g["k_est"], 2,
                                       extra_sec=sel)
+    # ellg: row-positional windows + group-select gather — the light-local-
+    # row path (circuit/econ/mesh classes where bkt's bucket padding explodes).
+    from . import ellg as ellg_mod
+
+    if coo.nnz and pallas_pkg.supports(cfg.np_dtype):
+        est_e = ellg_mod.estimate(coo, cfg)
+        if est_e["feasible"]:
+            slots, rest = est_e["slots"], est_e["rest_nnz"]
+            # main: 10 B/slot streamed + one wide 8-way gather; rest rides
+            # bkt_g-ish (~3 ns/entry measured ballpark)
+            costs["ellg"] = (slots * 10 / HBM_BPS + slots / 25e9
+                             + rest * 3e-9)
+    # csr / ss: XLA gather-bound fallbacks — they are dominated on f32 (the
+    # 0.14 G elem/s XLA gather), but they are the only paths that run every
+    # dtype (f64 included) on every structure, so auto always has a candidate.
+    costs["csr"] = nnz / SCATTER_RATE + (nnz * (vsz + 4) + n * vsz) / HBM_BPS
+    costs["ss"] = 1.05 * costs["csr"]      # same gather bound + scan pass
     # hyb: dense-diagonal peel (DIA stream) + scattered residual.  The
     # residual's cost is approximated by scaling the best whole-matrix
     # scattered cost by the residual nnz fraction (x1.3: shallower buckets
@@ -132,9 +149,15 @@ def choose(coo: COOMatrix, cfg: Config) -> str:
 
 from . import hyb as hyb_mod  # noqa: E402  (after estimate_costs definition)
 
+from . import csr as csr_mod  # noqa: E402
+from . import ss as ss_mod  # noqa: E402
+
+from . import ellg as ellg_mod  # noqa: E402
+
 _MODULES = {"dia": dia_mod, "dense": dense_mod, "bsr": bsr_mod,
             "css": css_mod, "bkt": bkt_mod, "bkt_g": bkt_mod,
-            "hyb": hyb_mod}
+            "hyb": hyb_mod, "csr": csr_mod, "ss": ss_mod,
+            "ellg": ellg_mod}
 
 
 class AutoState:
@@ -166,11 +189,18 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def convert(coo: COOMatrix, cfg: Config) -> AutoState:
+def convert(coo: COOMatrix, cfg: Config, log=None) -> AutoState:
+    import os
+    import sys
+
+    if log is None and os.environ.get("SPMV_AUTO_LOG"):
+        log = lambda m: print(m, file=sys.stderr, flush=True)  # noqa: E731
     costs = estimate_costs(coo, cfg)
     last_err = None
     for chosen in sorted(costs, key=costs.get):
         ccfg = cfg.replace(bkt_row_group=1024) if chosen == "bkt_g" else cfg
+        if log:
+            log(f"auto: trying {chosen} (est {costs[chosen] * 1e6:.0f} us)")
         try:
             return AutoState(chosen, _MODULES[chosen].convert(coo, ccfg))
         except (ValueError, TypeError) as e:   # guard refused — next candidate

@@ -42,6 +42,15 @@ def convert(coo: COOMatrix, cfg: Config) -> BSRState:
     key = (coo.row.astype(np.int64) // bm) * (2 ** 32) + coo.col.astype(np.int64) // bn
     uniq, inv = np.unique(key, return_inverse=True)
     n_blocks = max(len(uniq), 1)
+    # Scattered inputs make one near-empty block per nonzero: the dense block
+    # array then dwarfs the matrix (webbase-1M: 3M blocks = 12.6 GB) and the
+    # host->HBM transfer wedges the run.  Refuse; auto falls to ellg/bkt/csr.
+    dense_elems = n_blocks * bm * bn
+    if dense_elems > max(32 * coo.nnz, 1 << 22) or \
+            dense_elems * np.dtype(cfg.np_dtype).itemsize > (2 << 30):
+        raise ValueError(
+            f"bsr: {n_blocks} blocks at fill {coo.nnz / dense_elems:.4f} — "
+            "block storage would dwarf the matrix; use ellg/bkt/csr")
     blocks = np.zeros((n_blocks, bm, bn), dtype=cfg.np_dtype)
     if coo.nnz:
         lr = coo.row.astype(np.int64) % bm

@@ -130,16 +130,19 @@ def run_benchmark(
     xd = jax.numpy.asarray(np.asarray(x, dtype=cfg.np_dtype))
 
     # --- OptimizeProblem (format conversion), timed (CSR5 reports this too) ---
+    log(f"{mat_name}: convert (format={cfg.format}) ...")
     t0 = now()
     state = formats.convert(coo, cfg)
     state = jax.block_until_ready(state)
     optimize_s = now() - t0
 
+    log(f"{mat_name}: converted in {optimize_s:.1f}s; compiling ...")
     spmv = jax.jit(formats.spmv_fn(cfg))
     t0 = now()
     y = spmv(state, xd)
     sync(y)
     compile_s = now() - t0
+    log(f"{mat_name}: compiled in {compile_s:.1f}s")
 
     # --- verify twice (main.cpp:40-56; catches operand-corrupting converts) ---
     verify_ok = True

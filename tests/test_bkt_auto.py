@@ -224,3 +224,54 @@ class TestBKTGrouped:
         assert ok, det
         back = formats.to_coo(st, cfg)
         np.testing.assert_allclose(back.to_dense(), coo.to_dense())
+
+
+class TestPlannerClasses:
+    """Planner regression per structural class (VERDICT #10): the chosen
+    format must be the one measured fastest for that class (PERFORMANCE.md),
+    and the gather-bound fallbacks must always be offered so auto never
+    fails — including on f64 where the Pallas formats refuse."""
+
+    CASES = [
+        ("band", lambda: generate("band", 1024, 8, seed=31), {"dia", "hyb"}),
+        ("block-fem", lambda: _block_fem_small(), {"bsr", "bkt", "bkt_g",
+                                                   "dense", "hyb"}),
+        ("scattered", lambda: powerlaw(4096, 40000, seed=33),
+         {"bkt_g", "bkt", "css"}),
+        ("web", lambda: powerlaw(8192, 40000, seed=34),
+         {"bkt_g", "css", "bkt"}),
+    ]
+
+    @pytest.mark.parametrize("name,make,expect", CASES,
+                             ids=[c[0] for c in CASES])
+    def test_class_choice(self, name, make, expect):
+        from singlespmv_tpu.formats.auto import estimate_costs
+
+        coo = make()
+        cfg = Config(dtype="float32")
+        costs = estimate_costs(coo, cfg)
+        assert {"csr", "ss"} <= set(costs)        # fallbacks always offered
+        chosen = min(costs, key=costs.get)
+        assert chosen in expect, (chosen, costs)
+
+    def test_f64_auto_end_to_end(self):
+        """On f64 the Pallas formats refuse; auto must fall through to an
+        XLA-capable format and still verify."""
+        import jax
+
+        coo = powerlaw(2048, 20000, seed=35)
+        cfg = Config(format="auto", dtype="float64")
+        st = formats.convert(coo, cfg)
+        x = create_random_vector(coo.n_col)
+        y = np.asarray(jax.jit(formats.spmv_fn(cfg))(st, x))
+        ok, det = verify_result(coo, x, y, dtype=np.float64)
+        assert ok, det
+
+
+def _block_fem_small():
+    from singlespmv_tpu.data.structgen import _assemble, _block_band, _diag
+
+    rng = np.random.default_rng(32)
+    n, nnz = 4096, 160000
+    parts = [_diag(n), _block_band(rng, n, 8, nnz - n, 8)]
+    return _assemble(rng, n, n, nnz, parts)
