@@ -113,9 +113,10 @@ def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
         if est_e["feasible"]:
             slots, rest = est_e["slots"], est_e["rest_nnz"]
             # main: 10 B/slot streamed + one wide 8-way gather; rest rides
-            # bkt_g-ish (~3 ns/entry measured ballpark)
+            # bkt_g (heavy rows: ~1 ns/entry; csr-tail cases cost more but
+            # only engage when everything else already refused)
             costs["ellg"] = (slots * 10 / HBM_BPS + slots / 25e9
-                             + rest * 3e-9)
+                             + rest * 1e-9)
     # csr / ss: XLA gather-bound fallbacks — they are dominated on f32 (the
     # 0.14 G elem/s XLA gather), but they are the only paths that run every
     # dtype (f64 included) on every structure, so auto always has a candidate.

@@ -54,17 +54,32 @@ def plan_t(degrees: np.ndarray, nnz: int) -> tuple:
 
 
 def estimate(coo: COOMatrix, cfg: Config) -> dict:
-    """Convert-free plan for formats.auto."""
+    """Convert-free plan for formats.auto — including the exact member-budget
+    spill (the 2%-locality assumption mispriced stripe matrices by 50x:
+    Hamrle3's random-offset stripes spill most windows past M members)."""
     n, nnz = coo.n_row, coo.nnz
     if nnz == 0:
         return {"t": 2, "slots": 0, "rest_nnz": 0, "feasible": False}
-    deg = np.bincount(coo.row.astype(np.int64), minlength=n)
+    rows = coo.row.astype(np.int64)
+    deg = np.bincount(rows, minlength=n)
     t, captured = plan_t(deg, nnz)
     slots = round_up(n, max(1, LANES // t)) * t
-    # member-budget spills aren't known without the column pass; assume the
-    # locality fraction spills ~2% (measured on the structured suite).
-    rest = nnz - captured + int(0.02 * captured)
-    feasible = slots <= PAD_LIMIT * nnz + (1 << 16) and captured >= nnz // 4
+    # exact spill: rank (window, col-block) pairs by count, keep top M
+    win = rows // (W_A // t)
+    pair = win * ((coo.n_col >> 7) + 1) + (coo.col.astype(np.int64) // LANES)
+    up, cnt = np.unique(pair, return_counts=True)
+    w = up // ((coo.n_col >> 7) + 1)
+    o = np.lexsort((-cnt, w))
+    wfirst = np.empty(len(o), dtype=bool)
+    if len(o):
+        wfirst[0] = True
+        wfirst[1:] = w[o][1:] != w[o][:-1]
+    rank = np.arange(len(o)) - np.maximum.accumulate(
+        np.where(wfirst, np.arange(len(o)), -1))
+    spill = int(cnt[o][rank >= M_MEMBERS].sum())
+    rest = (nnz - captured) + spill
+    feasible = (slots <= PAD_LIMIT * nnz + (1 << 16)
+                and captured >= nnz // 4 and rest <= nnz // 2)
     return {"t": t, "slots": slots, "rest_nnz": rest, "feasible": feasible}
 
 
@@ -178,6 +193,12 @@ def convert(coo: COOMatrix, cfg: Config) -> ELLGState:
                 rcoo, cfg.replace(format="bkt", bkt_row_group=1024))
             rest_fmt = "bkt_g"
         except (ValueError, TypeError):
+            if rest_nnz > max(nnz // 20, 1 << 14):
+                # a large rest on the 0.14 G elem/s XLA-gather csr path would
+                # dominate the whole SpMV — let auto pick something else
+                raise ValueError(
+                    f"ellg: rest {rest_nnz}/{nnz} entries would ride the "
+                    "csr gather path; structure unsuited to ellg")
             rest_state = csr_mod.convert(rcoo, cfg)
             rest_fmt = "csr"
 
