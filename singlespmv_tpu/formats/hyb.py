@@ -102,8 +102,10 @@ def _rest_modules():
     from . import bkt as bkt_mod
     from . import bsr as bsr_mod
     from . import css as css_mod
+    from . import ellg as ellg_mod
 
-    return {"bkt": bkt_mod, "bkt_g": bkt_mod, "bsr": bsr_mod, "css": css_mod}
+    return {"bkt": bkt_mod, "bkt_g": bkt_mod, "bsr": bsr_mod, "css": css_mod,
+            "ellg": ellg_mod}
 
 
 def convert(coo: COOMatrix, cfg: Config) -> HYBState:
