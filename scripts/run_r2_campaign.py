@@ -19,8 +19,13 @@ def log(msg):
 
 def stage_suite(small_only=False):
     from singlespmv_tpu.config import Config
+    from singlespmv_tpu.core import native
     from singlespmv_tpu.harness.suite import run_suite, summarize
     from singlespmv_tpu.data.structgen import RECIPES
+
+    t0 = time.time()
+    n = native.npalloc_prefault(10 << 30)
+    log(f"npalloc prefault: {n} blocks in {time.time() - t0:.0f}s")
 
     names = sorted(RECIPES, key=lambda n: RECIPES[n][1])
     if small_only:

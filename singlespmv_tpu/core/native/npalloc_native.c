@@ -39,7 +39,7 @@ typedef struct {
     size_t data_cap;  /* usable bytes at the data pointer */
 } hdr_t;
 
-#define FL_SLOTS 64
+#define FL_SLOTS 256
 typedef struct { size_t cap; void *data; } fl_ent;
 static fl_ent g_fl[FL_SLOTS];
 static int g_fl_n = 0;
@@ -51,12 +51,15 @@ static hdr_t *hdr_of(void *data) {
 }
 
 static size_t round_cap(size_t size) {
-    if (size <= HUGE_SZ) {            /* power-of-two classes 128K..2M */
-        size_t c = TH;
-        while (c < size) c <<= 1;
-        return c;
-    }
-    return (size + HUGE_SZ - 1) & ~(HUGE_SZ - 1);
+    /* Power-of-two classes at every scale: beyond ~2.5 GB of process
+     * lifetime this kernel's anonymous first-touch faults drop to
+     * ~0.2 ms/page (~25-90 s/GB), so block REUSE is everything — and
+     * exact-size caching never matches the varied large temporaries a
+     * convert makes.  Pow2 classes trade <=2x VA waste (RAM is 125 GB)
+     * for a freelist that actually hits. */
+    size_t c = TH;
+    while (c < size) c <<= 1;
+    return c;
 }
 
 static void *map_new(size_t cap) {
@@ -79,13 +82,19 @@ static void *big_alloc(size_t size, int zero) {
     size_t cap = round_cap(size);
     void *data = NULL;
     pthread_mutex_lock(&g_mu);
-    for (int i = 0; i < g_fl_n; i++) {
-        if (g_fl[i].cap == cap) {
-            data = g_fl[i].data;
-            g_fl[i] = g_fl[--g_fl_n];
-            g_hits++;
-            break;
-        }
+    int best = -1;
+    for (int i = 0; i < g_fl_n; i++) {    /* exact class, else smallest
+                                             cached block within 4x (cross-
+                                             class reuse after prefault) */
+        if (g_fl[i].cap == cap) { best = i; break; }
+        if (g_fl[i].cap > cap && g_fl[i].cap <= cap * 4 &&
+            (best < 0 || g_fl[i].cap < g_fl[best].cap))
+            best = i;
+    }
+    if (best >= 0) {
+        data = g_fl[best].data;
+        g_fl[best] = g_fl[--g_fl_n];
+        g_hits++;
     }
     pthread_mutex_unlock(&g_mu);
     if (data) {
@@ -186,6 +195,30 @@ static PyObject *py_install(PyObject *self, PyObject *args) {
     return old ? old : Py_None;
 }
 
+static PyObject *py_prefault(PyObject *self, PyObject *args) {
+    /* Pay the one-time slow-fault cost up front: allocate `count` blocks of
+     * `block_bytes`, touch every page twice (this kernel's pages reach full
+     * write speed only after the second touch), then park them on the
+     * freelist for converts to reuse.  Releases the GIL while touching. */
+    (void)self;
+    Py_ssize_t block_bytes, count;
+    if (!PyArg_ParseTuple(args, "nn", &block_bytes, &count)) return NULL;
+    if (count > FL_SLOTS) count = FL_SLOTS;
+    void *blocks[FL_SLOTS];
+    Py_ssize_t got = 0;
+    Py_BEGIN_ALLOW_THREADS
+    for (Py_ssize_t i = 0; i < count; i++) {
+        void *d = big_alloc((size_t)block_bytes, 0);
+        if (!d) break;
+        memset(d, 0, (size_t)block_bytes);
+        memset(d, 1, (size_t)block_bytes);
+        blocks[got++] = d;
+    }
+    for (Py_ssize_t i = 0; i < got; i++) big_free(blocks[i]);
+    Py_END_ALLOW_THREADS
+    return PyLong_FromSsize_t(got);
+}
+
 static PyObject *py_stats(PyObject *self, PyObject *args) {
     (void)self; (void)args;
     pthread_mutex_lock(&g_mu);
@@ -198,6 +231,8 @@ static PyObject *py_stats(PyObject *self, PyObject *args) {
 static PyMethodDef methods[] = {
     {"install", py_install, METH_NOARGS,
      "Install the hugepage NEP-49 handler; returns the previous handler."},
+    {"prefault", py_prefault, METH_VARARGS,
+     "prefault(block_bytes, count): pre-touch blocks onto the freelist."},
     {"stats", py_stats, METH_NOARGS, "Allocator counters."},
     {NULL, NULL, 0, NULL},
 };
