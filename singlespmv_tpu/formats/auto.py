@@ -111,12 +111,9 @@ def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
     if coo.nnz and pallas_pkg.supports(cfg.np_dtype):
         est_e = ellg_mod.estimate(coo, cfg)
         if est_e["feasible"]:
-            slots, rest = est_e["slots"], est_e["rest_nnz"]
-            # main: 10 B/slot streamed + one wide 8-way gather; rest rides
-            # bkt_g (heavy rows: ~1 ns/entry; csr-tail cases cost more but
-            # only engage when everything else already refused)
-            costs["ellg"] = (slots * 10 / HBM_BPS + slots / 25e9
-                             + rest * 1e-9)
+            # the estimate already models the level cascade at measured
+            # per-m kernel rates plus the bkt_g residue tail
+            costs["ellg"] = est_e["est_s"]
     # csr / ss: XLA gather-bound fallbacks — they are dominated on f32 (the
     # 0.14 G elem/s XLA gather), but they are the only paths that run every
     # dtype (f64 included) on every structure, so auto always has a candidate.

@@ -132,7 +132,7 @@ def probe_lane_gather(w=128, G=8192, dtype=np.float32, table_rows=1):
     idt = jnp.int16 if np.dtype(dtype).itemsize == 2 else jnp.int32
     col = jnp.asarray(rng.integers(0, LANES, (h, w)), idt)
     val = jnp.asarray(rng.standard_normal((h, w)), dtype=dtype)
-    x = jnp.asarray(rng.standard_normal((max(table_rows, 8), LANES)),
+    x = jnp.asarray(rng.standard_normal((max(table_rows, 8 * w // LANES), LANES)),
                     dtype=dtype)
 
     def kernel(col_ref, val_ref, x_ref, out_ref):
@@ -163,37 +163,39 @@ def probe_lane_gather(w=128, G=8192, dtype=np.float32, table_rows=1):
     return G * LANES, sec
 
 
-def probe_gather1024(G=8192, dtype=np.float32, levels=8):
+def probe_gather1024(G=8192, dtype=np.float32, levels=8, w=LANES):
     """Two-level gather: per element pick (sublane 0..levels-1, lane) from an
     (levels,128) x block — `levels`-way where-select of lane gathers.  Models
-    col-chunks of 128·levels (bkt with 8× fewer, deeper buckets)."""
+    col-chunks of 128·levels (bkt with 8× fewer, deeper buckets).  `w` sets
+    the tile width ((8,w) per grid step): the select chain cost turned out to
+    be tile-granularity-bound, not levels-bound."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     rng = np.random.default_rng(2)
-    h = G
-    col = jnp.asarray(rng.integers(0, levels * LANES, (h, LANES)), jnp.int32)
-    val = jnp.asarray(rng.standard_normal((h, LANES)), dtype=dtype)
+    h = G * LANES // w
+    g = 8 * w // LANES
+    col = jnp.asarray(rng.integers(0, levels * LANES, (h, w)), jnp.int32)
+    val = jnp.asarray(rng.standard_normal((h, w)), dtype=dtype)
     x = jnp.asarray(rng.standard_normal((8, LANES)), dtype=dtype)
 
     def kernel(col_ref, val_ref, x_ref, out_ref):
-        g = 8
-        lanes = col_ref[:] % LANES
-        sub = col_ref[:] // LANES
+        lanes = col_ref[:].reshape(g, LANES) % LANES
+        sub = col_ref[:].reshape(g, LANES) // LANES
         acc = jnp.zeros((g, LANES), val_ref.dtype)
         for lv in range(levels):
             xb = jnp.broadcast_to(x_ref[pl.ds(lv % 8, 1), :], (g, LANES))
             picked = jnp.take_along_axis(xb, lanes, axis=1)
             acc = jnp.where(sub == lv, picked, acc)
-        out_ref[:] = val_ref[:] * acc
+        out_ref[:] = (val_ref[:].reshape(g, LANES) * acc).reshape(8, w)
 
-    spec = lambda: pl.BlockSpec((8, LANES), lambda i: (i, 0),
+    spec = lambda: pl.BlockSpec((8, w), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((h, LANES), val.dtype),
+        out_shape=jax.ShapeDtypeStruct((h, w), val.dtype),
         grid=(h // 8,),
         in_specs=[spec(), spec(), pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=spec(),
@@ -204,6 +206,158 @@ def probe_gather1024(G=8192, dtype=np.float32, levels=8):
         return call(col, c, x)
 
     sec = _time(_chained(body), val, (col, x))
+    return G * LANES, sec
+
+
+def probe_palette_gather(w=1024, G=8192, CBX=8192, dtype=np.float32,
+                         per=1):
+    """The pal-format inner loop: x fully VMEM-resident as (CBX,128); per
+    (8,w) tile each lane-row (or each group of `per` lane-rows) has its own
+    scalar-prefetched col-block id; kernel assembles the per-row tables with
+    dynamic sublane slices of x, then lane-gathers.  Measures whether
+    per-lane-row dynamic palettes sustain the broadcast-table gather rate."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(11)
+    h = G * LANES // w
+    g = 8 * w // LANES                 # lane-rows per tile
+    steps = h // 8
+    nb = g // per                      # block ids per tile
+    col = jnp.asarray(rng.integers(0, LANES, (h, w)), jnp.int32)
+    val = jnp.asarray(rng.standard_normal((h, w)), dtype=dtype)
+    x = jnp.asarray(rng.standard_normal((CBX, LANES)), dtype=dtype)
+    blk = jnp.asarray(rng.integers(0, CBX, (steps * nb,)), jnp.int32)
+
+    def kernel(blk_ref, col_ref, val_ref, x_ref, out_ref):
+        t = pl.program_id(0)
+        rows = [jnp.broadcast_to(x_ref[pl.ds(blk_ref[t * nb + p], 1), :],
+                                 (per, LANES))
+                for p in range(nb)]
+        xb = jnp.concatenate(rows, 0) if nb > 1 else rows[0]
+        lanes = col_ref[:].reshape(g, LANES)
+        out_ref[:] = (val_ref[:].reshape(g, LANES)
+                      * jnp.take_along_axis(xb, lanes, axis=1)).reshape(8, w)
+
+    spec = lambda: pl.BlockSpec((8, w), lambda i, *_: (i, 0),
+                                memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((h, w), val.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(steps,),
+            in_specs=[spec(), spec(), pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=spec(),
+        ),
+        interpret=_interp(),
+    )
+
+    def body(c, tiny, blk, col, x):
+        return call(blk, col, c, x)
+
+    sec = _time(_chained(body), val, (blk, col, x))
+    return G * LANES, sec
+
+
+def probe_pal2step(w=1024, G=8192, CBX=8192, dtype=np.float32, K=1):
+    """pal two-step gather: per (8,w) tile each lane-row gets an (8,128)
+    x window (one dynamic slice), K per-lambda sublane planes select rows
+    from the window, then the lane gather places elements at slot lanes.
+    Per lane-row element (s,l) reachable iff sub_k[l]==s for some k."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(13)
+    h = G * LANES // w
+    g = 8 * w // LANES
+    steps = h // 8
+    col = jnp.asarray(rng.integers(0, LANES, (h, w)), jnp.int32)
+    val = jnp.asarray(rng.standard_normal((h, w)), dtype=dtype)
+    x = jnp.asarray(rng.standard_normal((CBX, LANES)), dtype=dtype)
+    blk = jnp.asarray(rng.integers(0, CBX - 8, (steps * g,)), jnp.int32)
+    sub = jnp.asarray(rng.integers(0, 8, (K, h, w)), jnp.int32)
+    sel = jnp.asarray(rng.integers(0, K, (h, w)), jnp.int32)
+
+    def kernel(blk_ref, col_ref, val_ref, sub_ref, sel_ref, x_ref, out_ref):
+        t = pl.program_id(0)
+        win = jnp.stack([x_ref[pl.ds(blk_ref[t * g + p], 8), :]
+                         for p in range(g)])            # (g, 8, 128)
+        lanes = col_ref[:].reshape(g, LANES)
+        acc = None
+        for k in range(K):
+            subk = sub_ref[k].reshape(g, 1, LANES)
+            tk = jnp.take_along_axis(win, subk, axis=1).reshape(g, LANES)
+            gk = jnp.take_along_axis(tk, lanes, axis=1)
+            if acc is None:
+                acc = gk
+            else:
+                acc = jnp.where(sel_ref[:].reshape(g, LANES) == k, gk, acc)
+        out_ref[:] = (val_ref[:].reshape(g, LANES) * acc).reshape(8, w)
+
+    spec = lambda bs: pl.BlockSpec(bs, lambda i, *_: (i, 0) if len(bs) == 2
+                                   else (0, i, 0), memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((h, w), val.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(steps,),
+            in_specs=[spec((8, w)), spec((8, w)), spec((K, 8, w)),
+                      spec((8, w)), pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=spec((8, w)),
+        ),
+        interpret=_interp(),
+    )
+
+    def body(c, tiny, blk, col, sub, sel, x):
+        return call(blk, col, c, sub, sel, x)
+
+    sec = _time(_chained(body), val, (blk, col, sub, sel, x))
+    return G * LANES, sec
+
+
+def probe_onehot_inkernel(G=8192, dtype=np.float32):
+    """Combine candidate: per (8,128) product tile, build the (8,128,128)
+    one-hot from int32 row-bin indices IN KERNEL (iota compare) and contract
+    on the MXU into 128 bins — routing without HBM one-hot traffic."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(12)
+    binv = jnp.asarray(rng.integers(0, LANES, (G, LANES)), jnp.int32)
+    val = jnp.asarray(rng.standard_normal((G, LANES)), dtype=dtype)
+
+    def kernel(bin_ref, val_ref, out_ref):
+        b = jax.lax.broadcasted_iota(jnp.int32, (8, LANES, LANES), 2)
+        oh = (bin_ref[:].reshape(8, LANES, 1) == b).astype(val_ref.dtype)
+        r = jax.lax.dot_general(
+            val_ref[:].reshape(1, 8 * LANES),
+            oh.reshape(8 * LANES, LANES), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[:] = jnp.broadcast_to(r.astype(val_ref.dtype), (8, LANES))
+
+    spec = lambda: pl.BlockSpec((8, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((G, LANES), val.dtype),
+        grid=(G // 8,),
+        in_specs=[spec(), spec()],
+        out_specs=spec(),
+        interpret=_interp(),
+    )
+
+    def body(c, tiny, binv):
+        return call(binv, c)
+
+    sec = _time(_chained(body), val, (binv,))
     return G * LANES, sec
 
 
@@ -464,6 +618,17 @@ PROBES = {
     "seg_scan_roll_2": lambda: probe_seg_scan_roll(steps=2),
     "seg_scan_big_block": lambda: probe_seg_scan(G=8192),
     "onehot_mxu_route": lambda: probe_onehot_mxu(),
+    "onehot_inkernel_route": lambda: probe_onehot_inkernel(),
+    "lane_gather_w1024_tab0": lambda: probe_lane_gather(w=1024, table_rows=0),
+    "palette_w1024": lambda: probe_palette_gather(w=1024),
+    "palette_w512": lambda: probe_palette_gather(w=512),
+    "palette_w1024_per8": lambda: probe_palette_gather(w=1024, per=8),
+    "palette_w1024_cbx32k": lambda: probe_palette_gather(w=1024, CBX=32768),
+    "gather8way_w1024": lambda: probe_gather1024(levels=8, w=1024),
+    "gather4way_w1024": lambda: probe_gather1024(levels=4, w=1024),
+    "gather2way_w1024": lambda: probe_gather1024(levels=2, w=1024),
+    "gather16way_w1024": lambda: probe_gather1024(levels=16, w=1024),
+    "gather8way_w4096": lambda: probe_gather1024(levels=8, w=4096),
     "dynslice_accum": lambda: probe_dynslice_accum(),
     "seg_scan_128": lambda: probe_seg_scan(),
     "lane_gather_w512_bf16": lambda: probe_lane_gather(

@@ -47,40 +47,49 @@ def _use_interpret() -> bool:
 
 # ----------------------------------------------------------------- stage A ---
 
-def _mul_kernel(mem_ref, lane_ref, val_ref, x_ref, out_ref):
+def _member_rows(mem_ref, x_ref, t, units, per, g, j, m):
+    """(g, 128) x rows for member pass j: one dynamic x slice per member
+    unit, each broadcast over its ``per`` 128-slot chunks."""
+    rows = [x_ref[pl.ds(mem_ref[(t * units + u) * m + j], 1), :]
+            for u in range(units)]
+    xb = jnp.concatenate(rows, axis=0) if units > 1 else rows[0]
+    if per > 1:
+        xb = jnp.broadcast_to(xb[:, None, :],
+                              (units, per, LANES)).reshape(g, LANES)
+    return xb
+
+
+def _mul_kernel(mem_ref, lane_ref, val_ref, x_ref, out_ref, *, gran: int):
     t = pl.program_id(0)
     w = lane_ref.shape[1]
-    rep = w // LANES
-    g = 8 * rep
-    rows = [x_ref[pl.ds(mem_ref[t * 8 + r], 1), :] for r in range(8)]
-    xb = jnp.concatenate(rows, axis=0)           # (8, 128)
-    xb = jnp.broadcast_to(xb[:, None, :], (8, rep, LANES)).reshape(g, LANES)
+    g = 8 * w // LANES
+    units = 8 * w // gran
+    per = g // units
+    xb = _member_rows(mem_ref, x_ref, t, units, per, g, 0, 1)
     lanes = lane_ref[:].astype(jnp.int32).reshape(g, LANES)
     gathered = jnp.take_along_axis(xb, lanes, axis=1)
     out_ref[:] = (val_ref[:].reshape(g, LANES) * gathered).reshape(8, w)
 
 
 def _mul_kernel_m(mem_ref, lane_ref, src_ref, val_ref, x_ref, out_ref, *,
-                  m: int):
+                  m: int, gran: int):
     t = pl.program_id(0)
     w = lane_ref.shape[1]
-    rep = w // LANES
-    g = 8 * rep
+    g = 8 * w // LANES
+    units = 8 * w // gran
+    per = g // units
     lanes = lane_ref[:].astype(jnp.int32).reshape(g, LANES)
     src = src_ref[:].astype(jnp.int32).reshape(g, LANES)
     gathered = jnp.zeros((g, LANES), val_ref.dtype)
     for j in range(m):
-        rows = [x_ref[pl.ds(mem_ref[(t * 8 + r) * m + j], 1), :]
-                for r in range(8)]
-        xb = jnp.concatenate(rows, axis=0)
-        xb = jnp.broadcast_to(xb[:, None, :],
-                              (8, rep, LANES)).reshape(g, LANES)
+        xb = _member_rows(mem_ref, x_ref, t, units, per, g, j, m)
         gj = jnp.take_along_axis(xb, lanes, axis=1)
         gathered = jnp.where(src == j, gj, gathered)
     out_ref[:] = (val_ref[:].reshape(g, LANES) * gathered).reshape(8, w)
 
 
-def block_gather_mul(members, lane, src, val, x_table, m: int = 1):
+def block_gather_mul(members, lane, src, val, x_table, m: int = 1,
+                     gran: int | None = None):
     """products[i] = val[i] · x[member·128 + lane[i]] over a group-major (H, W)
     stream.
 
@@ -90,18 +99,20 @@ def block_gather_mul(members, lane, src, val, x_table, m: int = 1):
     wide lane-gathers — measured: wide takes ~60-200 G elem/s, so m takes on
     m-fold fewer slots beat 1 take on m-fold padding).
 
-    members: (H·8·m,) int32 — m x-row ids per (W-slot) sublane row; every
-             sublane row is group-pure (convert aligns NU_pad·S % W == 0).
+    members: (H·(8w/gran)·m,) int32 — m x-row ids per member unit of ``gran``
+             slots (default gran = w: one unit per (1, w) stream row, the bkt
+             layout; ellg passes gran=128 — per-sublane-row windows).
     lane:    (H, W) int8 in-block column; src: (H, W) int8 member index.
     """
     import functools
 
     h, w = lane.shape
+    gran = w if gran is None else gran
     spec = lambda: pl.BlockSpec((8, w), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)
     if m == 1:
         return pl.pallas_call(
-            _mul_kernel,
+            functools.partial(_mul_kernel, gran=gran),
             out_shape=jax.ShapeDtypeStruct((h, w), val.dtype),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -113,7 +124,7 @@ def block_gather_mul(members, lane, src, val, x_table, m: int = 1):
             interpret=_use_interpret(),
         )(members, lane, val, x_table)
     return pl.pallas_call(
-        functools.partial(_mul_kernel_m, m=m),
+        functools.partial(_mul_kernel_m, m=m, gran=gran),
         out_shape=jax.ShapeDtypeStruct((h, w), val.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
