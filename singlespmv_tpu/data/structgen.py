@@ -52,12 +52,19 @@ def _stencil(rng, n: int, offsets, fill: float = 1.0,
 def _block_band(rng, n: int, b: int, nnz_target: int,
                 bw_blocks: int) -> np.ndarray:
     """FEM/CFD-style dense b×b blocks: each block-row gets ~d block-columns
-    within ±bw_blocks of the diagonal (always including the diagonal block)."""
+    as contiguous runs inside ±bw_blocks of the diagonal (element
+    connectivity numbers nodes consecutively, so published spy plots of this
+    class — raefsky3, PR02R, laminar_duct3D — show clustered thick bands,
+    not uniform speckle)."""
     nb = max(1, n // b)
     d = max(1, int(round(nnz_target / (nb * b * b))))
     brow = np.repeat(np.arange(nb, dtype=np.int64), d)
-    off = rng.integers(-bw_blocks, bw_blocks + 1, brow.size)
-    off[::d] = 0                                   # diagonal block present
+    # one run of ~d/2 blocks at the diagonal + a second displaced run
+    half = max(1, d // 2)
+    pos = np.tile(np.arange(d, dtype=np.int64), nb)
+    run2 = pos >= half
+    start2 = rng.laplace(0.0, max(bw_blocks // 2, 1), nb).astype(np.int64)
+    off = np.where(run2, start2.repeat(d) + (pos - half), pos - half // 2)
     bcol = np.clip(brow + off, 0, nb - 1)
     rr = (brow[:, None] * b + np.arange(b)).repeat(b, axis=1).reshape(-1)
     cc = np.tile((bcol[:, None] * b + np.arange(b)), (1, b)).reshape(-1)
@@ -75,16 +82,35 @@ def _local_scatter(rng, n: int, nnz: int, width: int,
     return np.stack([r, c], axis=1)
 
 
-def _uniform_scatter(rng, n: int, nnz: int, row_alpha: float = 0.0
-                     ) -> np.ndarray:
-    """Global scatter; row_alpha > 0 draws rows from a power-law (webs)."""
+def _uniform_scatter(rng, n: int, nnz: int, row_alpha: float = 0.0,
+                     col_alpha: float = 0.0) -> np.ndarray:
+    """Global scatter; row_alpha > 0 draws rows from a power-law (web
+    out-degree), col_alpha > 0 draws columns from one too (web IN-degree is
+    power-law as well — hub pages; uniform columns would be unfaithful to
+    the published degree profiles of webbase-class graphs)."""
     if row_alpha > 0:
         w = np.arange(1, n + 1, dtype=np.float64) ** (-row_alpha)
         w /= w.sum()
         r = rng.choice(n, size=nnz, p=w)
     else:
         r = rng.integers(0, n, nnz)
-    c = rng.integers(0, n, nnz)
+    if col_alpha > 0:
+        w = np.arange(1, n + 1, dtype=np.float64) ** (-col_alpha)
+        w /= w.sum()
+        c = rng.permutation(n)[rng.choice(n, size=nnz, p=w)]
+    else:
+        c = rng.integers(0, n, nnz)
+    return np.stack([r, c], axis=1)
+
+
+def _distance_scatter(rng, n: int, nnz: int, scale: int) -> np.ndarray:
+    """Cauchy-tailed off-diagonal coupling: most entries land near the
+    diagonal with a heavy tail of long-range links — the circuit/netlist
+    profile after typical node ordering (near couplings dominate, global
+    nets reach far)."""
+    r = rng.integers(0, n, nnz)
+    off = (scale * np.tan(np.pi * (rng.random(nnz) - 0.5))).astype(np.int64)
+    c = np.clip(r + off, 0, n - 1)
     return np.stack([r, c], axis=1)
 
 
@@ -151,14 +177,21 @@ def _assemble(rng, n_row: int, n_col: int, nnz: int, parts) -> COOMatrix:
 # Class notes cite the SuiteSparse problem kind the recipe models.
 
 def _r_circuit(local_frac=0.45, width_div=200, alpha=0.6):
-    """Circuit simulation: strong diagonal + near-diagonal coupling + global
-    nets, power-law-ish row degrees (ASIC_680ks, Freescale1, rajat31)."""
+    """Circuit simulation: strong diagonal + near-diagonal coupling +
+    Cauchy-tailed mid-range coupling + a small power-law-column global-net
+    tail (ASIC_680ks, Freescale1, rajat31 — published spy plots are
+    diagonal-dominated with sparse long-range arcs and a few hub nets, not
+    uniform speckle)."""
     def build(rng, n, nnz):
         rest = max(nnz - n, 0)
         loc = int(rest * local_frac)
+        glob = max(rest // 10, 1)
+        mid = max(rest - loc - glob, 0)
         return [_diag(n),
                 _local_scatter(rng, n, loc, max(4, n // width_div)),
-                _uniform_scatter(rng, n, rest - loc, row_alpha=alpha)]
+                _distance_scatter(rng, n, mid, max(8, n // 64)),
+                _uniform_scatter(rng, n, glob, row_alpha=alpha,
+                                 col_alpha=0.8)]
     return build
 
 
@@ -236,21 +269,25 @@ def _r_spectral(k_dense=8, band=40):
 
 
 def _r_web(alpha=1.2):
-    """Power-law web graph (webbase-1M)."""
+    """Power-law web graph (webbase-1M): power-law out-degree (rows) AND
+    in-degree (columns — hub pages receive most links)."""
     def build(rng, n, nnz):
         return [_diag(n), _uniform_scatter(rng, n, max(nnz - n, 0),
-                                           row_alpha=alpha)]
+                                           row_alpha=alpha, col_alpha=0.9)]
     return build
 
 
 def _r_irregular_runs(run, width_div=80, scatter_frac=0.3):
-    """Irregular coupling with contiguous runs (lhr34, para-4, mac_econ)."""
+    """Irregular coupling with contiguous runs (lhr34, para-4, mac_econ);
+    the off-band part is heavy-tailed around the diagonal (economic/process
+    models couple sector neighbours; their spy plots show arrow/band mass,
+    not uniform noise)."""
     def build(rng, n, nnz):
         rest = max(nnz - n, 0)
         sc = int(rest * scatter_frac)
         return [_diag(n),
                 _contig_runs(rng, n, rest - sc, run, max(8, n // width_div)),
-                _uniform_scatter(rng, n, sc, row_alpha=0.4)]
+                _distance_scatter(rng, n, sc, max(8, n // 24))]
     return build
 
 

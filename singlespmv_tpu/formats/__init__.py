@@ -14,10 +14,11 @@ def _ensure_loaded():
         return
     _LOADED = True
     from . import (auto, bcoo, bkt, bsr, coo, csr, csr5, css, dense, dia, ell,
-                   ellg, hyb, jds, ss)
+                   ellg, hyb, jds, slab, ss)
     from .base import register_format
 
     register_format("auto", auto)
+    register_format("slab", slab)
     register_format("hyb", hyb)
     register_format("ellg", ellg)
     register_format("bkt", bkt)

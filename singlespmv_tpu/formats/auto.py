@@ -56,8 +56,11 @@ def _stats(coo: COOMatrix, cfg: Config):
     return vsz, n_diag, blocks, runs, css_stream
 
 
-def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
-    """Seconds per SpMV by format, from the measured-rate model."""
+def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None) -> dict:
+    """Seconds per SpMV by format, from the measured-rate model.
+
+    ``plans`` (optional dict) collects per-format plan objects so convert can
+    reuse them instead of re-running the (sort-heavy) estimators."""
     vsz, n_diag, blocks, runs, css_stream = _stats(coo, cfg)
     n, m, nnz = coo.n_row, coo.n_col, max(coo.nnz, 1)
     costs = {}
@@ -114,6 +117,18 @@ def estimate_costs(coo: COOMatrix, cfg: Config) -> dict:
             # the estimate already models the level cascade at measured
             # per-m kernel rates plus the bkt_g residue tail
             costs["ellg"] = est_e["est_s"]
+    # slab: the fused windowed stream-row engine — single-pass gather/
+    # multiply/run-reduce/route, ragged-free packing (the scattered-class
+    # workhorse since r2; estimate() is an exact slot simulation on the
+    # measured step-cost model, including the hub-column appendix).
+    from . import slab as slab_mod
+
+    if coo.nnz and pallas_pkg.supports(cfg.np_dtype):
+        est_sl = slab_mod.estimate(coo, cfg)
+        if est_sl["feasible"]:
+            costs["slab"] = est_sl["est_s"]
+            if plans is not None:
+                plans["slab"] = est_sl
     # csr / ss: XLA gather-bound fallbacks — they are dominated on f32 (the
     # 0.14 G elem/s XLA gather), but they are the only paths that run every
     # dtype (f64 included) on every structure, so auto always has a candidate.
@@ -152,10 +167,12 @@ from . import ss as ss_mod  # noqa: E402
 
 from . import ellg as ellg_mod  # noqa: E402
 
+from . import slab as slab_mod  # noqa: E402
+
 _MODULES = {"dia": dia_mod, "dense": dense_mod, "bsr": bsr_mod,
             "css": css_mod, "bkt": bkt_mod, "bkt_g": bkt_mod,
             "hyb": hyb_mod, "csr": csr_mod, "ss": ss_mod,
-            "ellg": ellg_mod}
+            "ellg": ellg_mod, "slab": slab_mod}
 
 
 class AutoState:
@@ -193,13 +210,17 @@ def convert(coo: COOMatrix, cfg: Config, log=None) -> AutoState:
 
     if log is None and os.environ.get("SPMV_AUTO_LOG"):
         log = lambda m: print(m, file=sys.stderr, flush=True)  # noqa: E731
-    costs = estimate_costs(coo, cfg)
+    plans = {}
+    costs = estimate_costs(coo, cfg, plans=plans)
     last_err = None
     for chosen in sorted(costs, key=costs.get):
         ccfg = cfg.replace(bkt_row_group=1024) if chosen == "bkt_g" else cfg
         if log:
             log(f"auto: trying {chosen} (est {costs[chosen] * 1e6:.0f} us)")
         try:
+            if chosen in plans:
+                return AutoState(chosen, _MODULES[chosen].convert(
+                    coo, ccfg, plan=plans[chosen]))
             return AutoState(chosen, _MODULES[chosen].convert(coo, ccfg))
         except (ValueError, TypeError) as e:   # guard refused — next candidate
             last_err = e

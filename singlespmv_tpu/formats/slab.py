@@ -1,0 +1,465 @@
+"""SLAB — ragged-free windowed stream-row format for the fused slab kernel.
+
+The scattered-class formats of rounds 1-2 (bkt/bkt_g, ellg) all pay layout
+taxes that the fused kernel (ops/pallas/slab.py) was built to remove: bucket
+grids pad every bucket to one global depth, products round-trip HBM between
+stages, and multi-level cascades leave residues on slow paths.  SLAB packs the
+whole matrix — any structure, any row length — into one stream:
+
+  nonzeros sorted by (row-unit, window, row, col); a *window* is ``m`` aligned
+  col-blocks (m·128 columns); each (unit, window) group chops into 128-slot
+  stream rows; each unit's stream rows pad to a multiple of the grid step T.
+
+Padding is therefore ≤ one stream row per (unit, window) group plus T-alignment
+per unit — no global depth.  One kernel pass computes the entire y: runs are
+(row × stream-row) contiguous by construction, routed to the unit's (8, 128)
+output block by 8 static σ-planes of int8 end-lanes — collision-free for any
+row mix, since (σ, lane) ↔ row is bijective inside a unit and a stream row
+holds one run per row.
+
+Choosing m trades window fill (larger windows catch more of a unit's columns
+in one stream row) against select cost (m-way one-hot) and VMEM; ``estimate``
+simulates the exact slot count for each candidate m and T from the measured
+per-step cost model and picks the cheapest.
+
+Hyper-sparse giants (webbase/ASIC class) defeat plain windows: high-degree
+*hub columns* appear in nearly every unit, so every (unit, window) group holds
+a few lonely slots.  The planner then relabels hubs into a dense **appendix**
+region of the x table (appendix windows pack hub nnz tightly; the residual's
+windows regain locality).  The per-spmv cost is one small gather
+``x[hub_cols]`` into the appendix.
+
+Reference parity: this is the repo's answer to CSR5's tiled layout
+(/root/reference/opt/Benchmark_SpMV_using_CSR5/CSR5_avx2/detail/avx2/
+csr5_spmv_avx2.h:47-267) — tile descriptors become route planes, the
+empty-row/segmented machinery becomes host-side run packing.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Config
+from ..core import hostmem as hm
+from ..core.types import COOMatrix, cdiv
+from .base import device_put, pytree_dataclass
+
+LANES = 128
+UNIT_ROWS = 1024           # y rows per unit: 8 sublanes × 128 lanes
+M_CANDS = (1, 2, 4, 8, 16, 32)
+T_CANDS = (32, 64, 128)
+SPAN_CANDS = (1, 2)        # units per output block (8 or 16 σ-planes)
+PAD_LIMIT = 6.0            # slots / nnz refusal bound
+# measured per-grid-step cost model, TPU v5e — fitted on the σ-plane kernel
+# across the 8-plane and 16-plane bench runs (scripts/bench_slab.py):
+# step ≈ FIXED + slots·(BASE + ROUTE·planes + SEL·m).
+STEP_FIXED_S = 0.35e-6
+BASE_SLOT_S = 0.015e-9
+ROUTE_SLOT_S = 0.004e-9    # per σ-plane (gather + mask + reduce)
+SEL_SLOT_S = 0.0035e-9     # per window member (one-hot select)
+
+
+@pytree_dataclass(meta=("n_row", "n_col", "nnz", "m", "t_step", "planes",
+                        "n_units", "cb_pad", "n_slots", "hub_off"))
+class SlabState:
+    n_row: int
+    n_col: int
+    nnz: int
+    m: int                 # col-blocks per window
+    t_step: int            # stream rows per grid step
+    planes: int            # 8 (single-unit blocks) or 16 (pair blocks)
+    n_units: int           # compact (nonempty) units
+    cb_pad: int            # x-table col-blocks (window-aligned)
+    n_slots: int
+    hub_off: int           # appendix col offset (0 = no hub relabeling)
+    uids: object           # (n_steps,) int32 — compact unit per step
+    win: object            # (H,) int32 — window base col-block per stream row
+    lane: object           # (H, 128) int8
+    sub: object            # (H, 128) int8
+    val: object            # (H, 128) values
+    hm1: object            # (H, 128) int8
+    idx: object            # (16, H, 128) int8 — σ-plane end-lanes, −1 masked
+    unit_ids: object       # (n_units,) int32 — original unit ids
+    lo_mask: object = None  # (n_units, 1) value-dtype — 0 where the unit's
+    #                         own block is never a step's first (tiny units
+    #                         fully inside a straddling step: their out block
+    #                         is unwritten garbage; contributions arrive via
+    #                         the previous block's hi half)
+    hub_cols: object = None  # (n_hub,) int32 — appendix source columns
+
+
+# ----------------------------------------------------------------- packing ---
+
+def _walk(cols_s, unit_starts, m):
+    """Greedy per-unit walk over col-sorted slots: cut a stream row at 128
+    slots or when the next col leaves the current unaligned m-block range.
+
+    Adaptive ranges beat aligned windows decisively: a diagonal-following
+    column cluster (3-D stencils, block bands) crosses every aligned window
+    boundary but fits one moving range (measured: stomach pad 2.26 aligned
+    → ~1.1 adaptive at m=4).
+
+    Returns (sizes, bases, urows): slots and base block per stream row,
+    stream rows per (nonempty) unit.
+    """
+    sizes, bases, urows = [], [], []
+    block_lim = m << 7
+    for u in range(len(unit_starts) - 1):
+        s0, s1 = int(unit_starts[u]), int(unit_starts[u + 1])
+        i = s0
+        cnt = 0
+        while i < s1:
+            base = int(cols_s[i]) >> 7
+            j = min(i + LANES, s1)
+            if int(cols_s[j - 1]) - (base << 7) >= block_lim:
+                j = i + int(np.searchsorted(cols_s[i:j],
+                                            (base << 7) + block_lim))
+            sizes.append(j - i)
+            bases.append(base)
+            i = j
+            cnt += 1
+        urows.append(cnt)
+    return (np.asarray(sizes, np.int64), np.asarray(bases, np.int64),
+            np.asarray(urows, np.int64))
+
+
+def _pad_units(urows, t, span):
+    """Pad stream-row counts for the output-block span.
+
+    span=1 (8 σ-planes): every step stays inside one unit — ceil-align each
+    unit's row count to t.
+    span=2 (16 σ-planes): steps may straddle ONE unit boundary — pad only
+    when a second boundary would fall inside the same step (a third unit).
+    Returns per-unit padded counts; total is a multiple of t."""
+    if span == 1:
+        return (-(-urows // t)) * t
+    pads = np.zeros(len(urows), np.int64)
+    cur = 0
+    last_inner_step = -1
+    for u, r in enumerate(urows):
+        end = cur + int(r)
+        if end % t != 0:
+            s = end // t
+            if s == last_inner_step:
+                pads[u] = t - (end % t)
+                end += pads[u]
+            else:
+                last_inner_step = s
+        cur = end
+    if cur % t:
+        pads[-1] += t - (cur % t)
+    return urows + pads
+
+
+def _estimate_cols(rows0, cols0, nnz, extra_s=0.0) -> dict:
+    """Pick (m, T) by the measured step-cost model; exact slot accounting.
+
+    One lexsort by (unit, col); each window-size candidate m re-walks the
+    sorted stream (the walk is T-independent; T only pads unit row counts).
+    """
+    unit0 = rows0 >> 10
+    o0 = np.lexsort((cols0, unit0))
+    cols_s = cols0[o0]
+    unit_s = unit0[o0]
+    ub = np.flatnonzero(np.concatenate([[True], unit_s[1:] != unit_s[:-1]]))
+    unit_starts = np.append(ub, len(cols_s))
+    # density guard: skip walks that cannot half-fill rows even with perfect
+    # ranges (slots per (unit, block) × m bounds the expected row fill)
+    blocks = cols_s >> 7
+    chg = np.concatenate([[True], (unit_s[1:] != unit_s[:-1])
+                          | (blocks[1:] != blocks[:-1])])
+    spb = len(cols_s) / max(int(chg.sum()), 1)
+    best = None
+    for m in M_CANDS:
+        if spb * m < 12 and m != M_CANDS[-1]:
+            continue
+        sizes, bases, urows = _walk(cols_s, unit_starts, m)
+        for t in T_CANDS:
+            for span in SPAN_CANDS:
+                h = int(_pad_units(urows, t, span).sum())
+                slots = h * LANES
+                if slots > PAD_LIMIT * nnz + (1 << 16):
+                    continue
+                sec = extra_s + (h // t) * STEP_FIXED_S + slots * (
+                    BASE_SLOT_S + 8 * span * ROUTE_SLOT_S + m * SEL_SLOT_S)
+                if best is None or sec < best["est_s"]:
+                    best = {"feasible": True, "est_s": sec, "slots": slots,
+                            "m": m, "t": t, "span": span, "order": o0,
+                            "sizes": sizes, "bases": bases, "urows": urows,
+                            "unit_ids": unit_s[ub].astype(np.int32)}
+    if best is None:
+        return {"feasible": False, "est_s": float("inf"), "slots": 0,
+                "m": 1, "t": 32, "span": 1}
+    return best
+
+
+HUB_DEG = 32               # column degree to qualify as a hub
+HUB_MAX = 16384            # appendix capacity (128 col-blocks)
+HUB_GATHER_RATE = 0.14e9   # XLA gather rate for the per-spmv appendix build
+
+
+def _hub_relabel(cols0, degs, n_col):
+    """Pick hub columns, return (hub_cols int32, relabeled cols, appendix
+    offset) or (None, cols0, 0) when hubs don't apply."""
+    cand = np.flatnonzero(degs >= HUB_DEG)
+    if len(cand) < 16:
+        return None, cols0, 0
+    if len(cand) > HUB_MAX:
+        top = np.argsort(degs[cand])[::-1][:HUB_MAX]
+        cand = np.sort(cand[top])
+    off = cdiv(max(n_col, 1), LANES) * LANES
+    rank = hm.full(n_col, -1, np.int64)
+    rank[cand] = hm.arange(len(cand))
+    r = rank[cols0]
+    cols_eff = np.where(r >= 0, off + r, cols0)
+    return cand.astype(np.int32), cols_eff, off
+
+
+def estimate(coo: COOMatrix, cfg: Config) -> dict:
+    if coo.nnz == 0 or coo.n_row == 0:
+        return {"feasible": False, "est_s": 0.0, "slots": 0, "m": 1, "t": 32,
+                "hub_cols": None, "cols_eff": None, "hub_off": 0}
+    rows0 = hm.astype(coo.row, np.int64)
+    cols0 = hm.astype(coo.col, np.int64)
+    plan = _estimate_cols(rows0, cols0, coo.nnz)
+    plan.update(hub_cols=None, cols_eff=None, hub_off=0)
+    if plan["feasible"] and plan["slots"] <= 1.8 * coo.nnz:
+        return plan
+    degs = np.bincount(cols0, minlength=coo.n_col)
+    hub_cols, cols_eff, off = _hub_relabel(cols0, degs, coo.n_col)
+    if hub_cols is None:
+        return plan
+    plan2 = _estimate_cols(rows0, cols_eff, coo.nnz,
+                           extra_s=len(hub_cols) / HUB_GATHER_RATE)
+    if plan2["feasible"] and plan2["est_s"] < plan["est_s"]:
+        plan2.update(hub_cols=hub_cols, cols_eff=cols_eff, hub_off=off)
+        return plan2
+    return plan
+
+
+def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
+    if plan is None:
+        plan = estimate(coo, cfg)
+    if not plan["feasible"]:
+        if coo.nnz == 0:
+            return _empty_state(coo, cfg)
+        raise ValueError("slab: padding/collision bounds exceeded "
+                         f"(slots={plan['slots']}, nnz={coo.nnz})")
+    m, t_step, span = plan["m"], plan["t"], plan["span"]
+    planes = 8 * span
+    dtype = cfg.np_dtype
+
+    o = plan["order"]
+    sizes, bases = plan["sizes"], plan["bases"]
+    urows, unit_ids = plan["urows"], plan["unit_ids"]
+    rows = hm.astype(coo.row, np.int64)
+    cols = plan["cols_eff"] if plan.get("cols_eff") is not None \
+        else hm.astype(coo.col, np.int64)
+    hub_cols, hub_off = plan.get("hub_cols"), plan.get("hub_off", 0)
+    n_col_eff = (hub_off + len(hub_cols)) if hub_cols is not None \
+        else coo.n_col
+    rows, cols = rows[o], cols[o]
+    vals = hm.astype(coo.val, dtype)[o]
+
+    # pad units for the block span; map walk rows → final rows
+    n_units = len(urows)
+    rows_pad = _pad_units(urows, t_step, span)
+    h = int(rows_pad.sum())
+    ustart = np.concatenate([[0], np.cumsum(rows_pad)[:-1]])
+    wstart = np.concatenate([[0], np.cumsum(urows)[:-1]])
+    ur = np.repeat(hm.arange(n_units), urows)      # unit per walk row
+    final_row = ustart[ur] + (hm.arange(len(sizes)) - wstart[ur])
+
+    # per-slot stream row (walk order = col-sorted), then re-sort slots by
+    # (stream row, y row, col) so each y row is one contiguous run
+    sr0 = final_row[np.repeat(hm.arange(len(sizes)), sizes)]
+    o2 = np.lexsort((cols, rows, sr0))
+    rows, cols, vals, sr = rows[o2], cols[o2], vals[o2], sr0[o2]
+    new_row_b = np.concatenate([[True], sr[1:] != sr[:-1]])
+    starts = np.flatnonzero(new_row_b)
+    li = hm.arange(len(rows)) - starts[np.cumsum(new_row_b) - 1]
+
+    lane = hm.zeros((h, LANES), np.int8)
+    sub = hm.zeros((h, LANES), np.int8)
+    val = hm.zeros((h, LANES), dtype)
+    hm1 = hm.zeros((h, LANES), np.int8)
+    win_b = hm.zeros(h, np.int32)
+
+    win_b[final_row] = bases.astype(np.int32)
+    cb = cols >> 7
+    lane[sr, li] = (cols & (LANES - 1)).astype(np.int8)
+    sub[sr, li] = (cb - win_b[sr]).astype(np.int8)
+    val[sr, li] = vals
+
+    # runs: contiguous per (stream row, y row) by the sort
+    new_run = hm.zeros(len(rows), np.bool_)
+    new_run[0] = True
+    new_run[1:] = (rows[1:] != rows[:-1]) | (sr[1:] != sr[:-1])
+    q = sr * LANES + li
+    head_q = np.maximum.accumulate(np.where(new_run, q, -1))
+    hm1[sr, li] = (head_q - sr * LANES - 1).astype(np.int8)
+
+    end = hm.zeros(len(rows), np.bool_)
+    end[:-1] = new_run[1:]
+    end[-1] = True
+    r_run, sr_run, e_lane = rows[end], sr[end], li[end]
+
+    # steps: first unit per step = unit of the step's first stream row
+    n_steps = h // t_step
+    unit_of_frow = np.repeat(hm.arange(n_units),
+                             rows_pad.astype(np.int64))
+    uids = unit_of_frow[::t_step].astype(np.int32)
+    assert len(uids) == n_steps
+
+    # σ ∈ [0, 16): pair-local sublane — offset 8 when the run's unit is the
+    # step's second unit
+    ur_run = unit_of_frow[sr_run]
+    first_run = uids[sr_run // t_step].astype(np.int64)
+    off = ur_run - first_run
+    assert off.min(initial=0) >= 0 and off.max(initial=0) <= span - 1, \
+        "slab: a grid step spans more units than the block covers"
+    sigma = ((r_run & (UNIT_ROWS - 1)) >> 7) + 8 * off
+    l_run = r_run & (LANES - 1)
+    # σ-planes never collide: (σ, l) ↔ row inside the block span, one run
+    # per row per stream row (slots row-sorted within stream rows)
+    idx = hm.full((planes, h, LANES), -1, np.int8)
+    idx[sigma, sr_run, l_run] = e_lane.astype(np.int8)
+
+    # units never first in any step get their (unwritten) lo block masked
+    written = hm.zeros(n_units, np.bool_)
+    written[uids.astype(np.int64)] = True
+    lo_mask = written.astype(dtype).reshape(n_units, 1)
+
+    # x table must cover every (base + m) range end
+    cb_tot = cdiv(max(n_col_eff, 1), LANES)
+    cb_pad = cb_tot + m
+
+    return SlabState(
+        n_row=coo.n_row, n_col=coo.n_col, nnz=coo.nnz, m=m, t_step=t_step,
+        planes=planes, n_units=n_units, cb_pad=cb_pad, n_slots=h * LANES,
+        hub_off=hub_off if hub_cols is not None else 0,
+        uids=device_put(uids), win=device_put(win_b),
+        lane=device_put(lane), sub=device_put(sub), val=device_put(val),
+        hm1=device_put(hm1), idx=device_put(idx),
+        unit_ids=device_put(unit_ids), lo_mask=device_put(lo_mask),
+        hub_cols=device_put(hub_cols) if hub_cols is not None else None)
+
+
+def _empty_state(coo, cfg):
+    dtype = cfg.np_dtype
+    return SlabState(
+        n_row=coo.n_row, n_col=coo.n_col, nnz=0, m=1, t_step=32, planes=8,
+        n_units=0, cb_pad=1, n_slots=0, hub_off=0,
+        uids=device_put(hm.zeros(0, np.int32)),
+        win=device_put(hm.zeros(0, np.int32)),
+        lane=device_put(hm.zeros((0, LANES), np.int8)),
+        sub=device_put(hm.zeros((0, LANES), np.int8)),
+        val=device_put(hm.zeros((0, LANES), dtype)),
+        hm1=device_put(hm.zeros((0, LANES), np.int8)),
+        idx=device_put(hm.full((8, 0, LANES), -1, np.int8)),
+        unit_ids=device_put(hm.zeros(0, np.int32)),
+        lo_mask=device_put(hm.zeros((0, 1), dtype)))
+
+
+# -------------------------------------------------------------------- spmv ---
+
+def spmv(state: SlabState, x):
+    import jax.numpy as jnp
+
+    from ..ops import pallas as pallas_pkg
+    from ..ops.pallas.slab import slab_spmv
+
+    n = state.n_row
+    if state.nnz == 0 or state.n_units == 0:
+        return jnp.zeros((n,), x.dtype)
+    if not pallas_pkg.supports(x.dtype):
+        raise TypeError(
+            "slab runs Pallas kernels: use float32/bfloat16 on TPU (f64 is "
+            "Mosaic-unsupported; pick csr/ss for an f64 XLA path)")
+    xp = jnp.zeros((state.cb_pad * LANES,), x.dtype)
+    xp = xp.at[: state.n_col].set(x)
+    if state.hub_cols is not None:
+        app = jnp.take(x, state.hub_cols, axis=0)
+        xp = xp.at[state.hub_off: state.hub_off + app.shape[0]].set(app)
+    xp = xp.reshape(state.cb_pad, LANES)
+    out = slab_spmv(state.uids, state.win, state.lane, state.sub, state.val,
+                    state.hm1, state.idx, xp, state.n_units, state.m,
+                    state.t_step)
+    if state.planes == 8:
+        yu = out.reshape(state.n_units, UNIT_ROWS)
+    else:
+        # pair-block overlap-add: block u rows 0-7 → unit u, 8-15 → unit u+1
+        out3 = out.reshape(state.n_units, 2, UNIT_ROWS)
+        ok = state.lo_mask > 0
+        zero = jnp.zeros((), x.dtype)
+        yu = jnp.where(ok, out3[:, 0, :], zero)  # unwritten blocks: garbage
+        hi = jnp.where(ok, out3[:, 1, :], zero)  # (NaN · 0 would stay NaN)
+        yu = yu + jnp.concatenate(
+            [jnp.zeros((1, UNIT_ROWS), yu.dtype), hi[:-1]], axis=0)
+    nu_tot = cdiv(max(n, 1), UNIT_ROWS)
+    y2 = jnp.zeros((nu_tot, UNIT_ROWS), x.dtype)
+    y2 = y2.at[state.unit_ids].set(yu, mode="drop", unique_indices=True)
+    return y2.reshape(-1)[:n]
+
+
+def spmm(state: SlabState, X):
+    import jax
+
+    return jax.vmap(spmv, in_axes=(None, 1), out_axes=1)(state, X)
+
+
+# ----------------------------------------------------------------- reports ---
+
+def report_fields(state: SlabState, cfg: Config) -> dict:
+    return {"WindowBlocks": state.m, "StepRows": state.t_step,
+            "RoutePlanes": state.planes,
+            "PadFactor": round(state.n_slots / max(state.nnz, 1), 3)}
+
+
+def traffic_bytes(state: SlabState, cfg: Config) -> int:
+    vsz = np.dtype(cfg.dtype).itemsize
+    per_slot = vsz + 3 + state.planes
+    return (state.n_slots * per_slot + state.n_row * vsz
+            + state.cb_pad * LANES * vsz)
+
+
+def to_coo(state: SlabState) -> COOMatrix:
+    lane = np.asarray(state.lane).astype(np.int64)
+    sub = np.asarray(state.sub).astype(np.int64)
+    val = np.asarray(state.val, dtype=np.float64)
+    win = np.asarray(state.win).astype(np.int64)
+    hm1 = np.asarray(state.hm1).astype(np.int64)
+    idx = np.asarray(state.idx).astype(np.int64)
+    uids = np.asarray(state.uids).astype(np.int64)
+    unit_ids = np.asarray(state.unit_ids).astype(np.int64)
+    h = lane.shape[0]
+    if h == 0:
+        return COOMatrix.from_triplets(state.n_row, state.n_col, [], [], [],
+                                       sort=True)
+    # recover per-slot rows from the route planes: walk runs per stream row
+    first_cu = uids[np.repeat(np.arange(h // state.t_step), state.t_step)]
+    cols = win[:, None] * LANES + sub * LANES + lane
+    if state.hub_cols is not None:
+        hub = np.asarray(state.hub_cols).astype(np.int64)
+        is_app = cols >= state.hub_off
+        cols = np.where(is_app, hub[np.minimum(cols - state.hub_off,
+                                               len(hub) - 1)], cols)
+    rows = hm.full((h, LANES), -1, np.int64)
+    for sigma in range(idx.shape[0]):
+        e = idx[sigma]
+        valid = e >= 0
+        sr_i, l_i = np.nonzero(valid)
+        end_lane = e[sr_i, l_i]
+        cu = first_cu[sr_i] + (sigma >= 8)
+        rr = unit_ids[cu] * UNIT_ROWS + (sigma % 8) * LANES + l_i
+        rows[sr_i, end_lane] = rr
+    # propagate row ids backward across each run (ends carry the id);
+    # slot j+1 heads a new run iff hm1[j+1] == j, i.e. its run head is j+1
+    for j in range(LANES - 2, -1, -1):
+        unset = rows[:, j] < 0
+        same_run = hm1[:, j + 1] != j
+        carry = same_run & unset
+        rows[carry, j] = rows[carry, j + 1]
+    mask = (rows >= 0) & (val != 0)
+    return COOMatrix.from_triplets(
+        state.n_row, state.n_col,
+        rows[mask], cols[mask], val[mask], sort=True)

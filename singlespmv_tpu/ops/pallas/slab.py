@@ -1,0 +1,149 @@
+"""Fused slab SpMV kernel — gather, multiply, run-reduce and route in one pass.
+
+The round-1/2 bkt pipeline pays three structural taxes on scattered matrices:
+the (CB, NU, S) bucket grid forces one padded depth S across every (col-block,
+row-unit) bucket (measured PadFactor ~4 on the natural suite), the stage-A
+product grid makes a full HBM round trip (8 B/slot write + strided re-read),
+and the relayout between stages adds another pass.  This kernel removes all
+three: nonzeros are packed into *ragged-free 128-slot stream rows* (pad only
+the last row of a (unit, window) group), x lives VMEM-resident for the whole
+pass, and gather + multiply + run-total + route happen in one grid step with
+the (8, 128) output block revisited across a unit's consecutive steps.
+
+Layout contract (built host-side in formats/slab.py):
+  - stream row r: 128 slots, all columns inside ONE aligned window of ``m``
+    col-blocks (base block = win_ref[r], window = cols [base·128, (base+m)·128));
+    slots sorted by (row, col) so each y row is one contiguous run;
+  - every stream row belongs to one row *unit* (1024 consecutive y rows); the
+    output block of a grid step is a PAIR of stream-adjacent units (16, 128),
+    so a step's T rows may straddle one unit boundary — the host inserts pad
+    rows only when a step would span three units (rare: units narrower than
+    T stream rows), then overlap-adds the halves (y[u] = hi(block u−1) +
+    lo(block u));
+  - sub[r, i] = slot's col-block inside the window (0..m-1), lane[r, i] = its
+    column inside the block, hm1[r, i] = lane of the slot's run head − 1;
+  - route plane σ (0..15): idx[σ, r, l] = end-lane of the run targeting y row
+    (pair_first·1024 + σ·128 + l), σ ≥ 8 addressing the pair's second unit.
+    (σ, l) ↔ row is bijective inside the pair and a stream row holds at most
+    one run per row, so σ-planes NEVER collide — any row mix packs, including
+    hyper-sparse units spanning the full 1024 rows per stream row.
+
+Per-slot arithmetic: one 128-lane gather + m-way one-hot select (VPU), 128
+MACs of MXU prefix (the run-total trick of ops/pallas/bucket.py), 8 routed
+picks + masked sums.  Per-slot traffic: val + 3·int8 + 8·int8 = 15 B — the
+kernel is compute-bound (measured ~8-10 G slot/s at T=64;
+scripts/probe_slab.py).
+
+Reference analog: none — this replaces CSR5's tile/descriptor machinery
+(/root/reference/opt/Benchmark_SpMV_using_CSR5/CSR5_avx2/detail/avx2/
+csr5_spmv_avx2.h:47-267) with a layout where the segmented reduction is a
+static routing problem solved at convert time.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _run_totals(v, hm1):
+    """W[l] = P[l] − P[hm1[l]]: at a run's end lane this is the run total."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    tri = (r <= c).astype(v.dtype)
+    acc = jnp.float32 if v.dtype in (jnp.bfloat16, jnp.float16,
+                                     jnp.float32) else v.dtype
+    p = jnp.dot(v, tri, preferred_element_type=acc,
+                precision=jax.lax.Precision.HIGHEST).astype(v.dtype)
+    h = hm1.astype(jnp.int32)
+    ph = jnp.take_along_axis(p, jnp.maximum(h, 0), axis=1)
+    return p - jnp.where(h >= 0, ph, jnp.zeros_like(ph))
+
+
+def _slab_kernel(uids_ref, win_ref, lane_ref, sub_ref, val_ref, hm1_ref,
+                 idx_ref, x_ref, out_ref, *, m: int, planes: int):
+    t = pl.program_id(0)
+    T = lane_ref.shape[0]
+
+    first = jnp.logical_or(
+        t == 0, uids_ref[jnp.maximum(t, 1)] != uids_ref[jnp.maximum(t, 1) - 1])
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # window assembly: one dynamic (m, 128) slice of the VMEM x table per row
+    wins = [x_ref[pl.ds(win_ref[t * T + r], m), :] for r in range(T)]
+    ws = jnp.concatenate(wins, axis=0) if T > 1 else wins[0]   # (T·m, 128)
+
+    lane = lane_ref[:].astype(jnp.int32)                        # (T, 128)
+    if m == 1:
+        g = jnp.take_along_axis(ws, lane, axis=1)
+    else:
+        lane_m = jnp.broadcast_to(lane[:, None, :], (T, m, LANES)
+                                  ).reshape(T * m, LANES)
+        tk = jnp.take_along_axis(ws, lane_m, axis=1).reshape(T, m, LANES)
+        sub = sub_ref[:].astype(jnp.int32)                      # (T, 128)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (T, m, LANES), 1)
+        g = jnp.sum(jnp.where(srow == sub[:, None, :], tk, 0.0), axis=1)
+
+    w = _run_totals(val_ref[:] * g, hm1_ref[:])
+
+    outs = []
+    for sigma in range(planes):
+        e = idx_ref[sigma].astype(jnp.int32)                    # (T, 128)
+        valid = e >= 0
+        picked = jnp.take_along_axis(w, jnp.where(valid, e, 0), axis=1)
+        outs.append(jnp.sum(jnp.where(valid, picked, 0.0), axis=0,
+                            keepdims=True))
+    out_ref[:] += jnp.concatenate(outs, axis=0)
+
+
+def slab_spmv(uids, win, lane, sub, val, hm1, idx, x_table, nu: int,
+              m: int, T: int = 64):
+    """Run the fused slab kernel.
+
+    uids:    (n_steps,) int32 — compact first-unit index per grid step,
+             non-decreasing.
+    win:     (H,) int32 — window base col-block per stream row.
+    lane:    (H, 128) int8; sub: (H, 128) int8 (ignored when m == 1);
+    val:     (H, 128) values; hm1: (H, 128) int8;
+    idx:     (planes, H, 128) int8 — σ-plane end-lanes, −1 masked.  planes=8:
+             single-unit blocks (steps T-aligned per unit); planes=16:
+             pair blocks (steps may straddle one unit boundary, host
+             overlap-adds block u's rows 8-15 into unit u+1).
+    x_table: (CB, 128) values, VMEM-resident for the whole pass.
+    nu:      number of compact units (out blocks).
+    Returns (nu·planes, 128).
+    """
+    h = lane.shape[0]
+    n_steps = h // T
+    planes = idx.shape[0]
+    spec8 = lambda: pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_slab_kernel, m=m, planes=planes),
+        out_shape=jax.ShapeDtypeStruct((nu * planes, LANES), val.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_steps,),
+            in_specs=[
+                spec8(), spec8(), spec8(), spec8(),
+                pl.BlockSpec((planes, T, LANES), lambda t, *_: (0, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((planes, LANES), lambda t, u, w: (u[t], 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=_use_interpret(),
+    )(uids, win, lane, sub, val, hm1, idx, x_table)

@@ -109,7 +109,7 @@ class TestAuto:
         ("band", lambda: generate("band", 2048, 16, seed=1), {"dia"}),
         ("dense", lambda: generate("dense", 256, seed=2), {"dense", "bsr"}),
         ("powerlaw", lambda: powerlaw(4096, 4096 * 24, seed=3),
-         {"bkt", "bkt_g", "bsr", "dense"}),
+         {"bkt", "bkt_g", "bsr", "dense", "slab"}),
     ], ids=["band", "dense", "powerlaw"])
     def test_choice_and_correctness(self, name, make, expect):
         import jax
@@ -237,9 +237,9 @@ class TestPlannerClasses:
         ("block-fem", lambda: _block_fem_small(), {"bsr", "bkt", "bkt_g",
                                                    "dense", "hyb"}),
         ("scattered", lambda: powerlaw(4096, 40000, seed=33),
-         {"bkt_g", "bkt", "css"}),
+         {"bkt_g", "bkt", "css", "slab"}),
         ("web", lambda: powerlaw(8192, 40000, seed=34),
-         {"bkt_g", "css", "bkt"}),
+         {"bkt_g", "css", "bkt", "slab"}),
     ]
 
     @pytest.mark.parametrize("name,make,expect", CASES,

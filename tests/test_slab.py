@@ -1,0 +1,107 @@
+"""SLAB (fused windowed stream-row format) — correctness, packing, planning.
+
+The slab kernel fuses gather/multiply/run-reduce/route in one Pallas pass
+(ops/pallas/slab.py); these tests pin oracle parity across the structure
+classes it must own (band, powerlaw, hyper-sparse, block FEM), round-trip,
+pad accounting, and the (m, T) planner behavior.
+"""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from singlespmv_tpu.config import Config
+from singlespmv_tpu.core import verify_result
+from singlespmv_tpu.core.types import COOMatrix
+from singlespmv_tpu.data.generators import generate, powerlaw
+from singlespmv_tpu.formats import convert, spmv_fn, to_coo
+from singlespmv_tpu.formats import slab as slab_mod
+
+F32 = Config(format="slab", dtype="float32")
+
+
+def _hyper(n=5000, nnz=15000, seed=5):
+    rng = np.random.default_rng(seed)
+    r = rng.integers(0, n, nnz)
+    c = rng.integers(0, n, nnz)
+    v = rng.uniform(0.1, 1.0, nnz)
+    return COOMatrix.from_triplets(n, n, r, c, v, sort=True,
+                                   sum_duplicates=True)
+
+
+MATRICES = [
+    ("band", lambda: generate("band", 2048, 8, seed=1)),
+    ("powerlaw", lambda: powerlaw(2048, 2048 * 8, seed=2)),
+    ("hyper-sparse", lambda: _hyper()),
+    ("random-small", lambda: generate("random", 512, 4, seed=3)),
+    ("tall", lambda: powerlaw(3000, 9000, seed=7)),
+]
+
+
+@pytest.mark.parametrize("label,make", MATRICES)
+def test_slab_spmv_vs_oracle(label, make):
+    coo = make()
+    st = convert(coo, F32)
+    x = np.random.default_rng(3).uniform(size=coo.n_col).astype(np.float32)
+    fn = jax.jit(spmv_fn(F32))
+    y = np.asarray(fn(st, x))
+    ok, det = verify_result(coo, x, y, dtype=np.float32)
+    assert ok, f"{label}: {det}"
+    y2 = np.asarray(fn(st, x))
+    assert (y == y2).all()
+
+
+@pytest.mark.parametrize("label,make", MATRICES[:3])
+def test_slab_round_trip(label, make):
+    coo = make()
+    st = convert(coo, F32)
+    back = to_coo(st, F32)
+    np.testing.assert_allclose(back.to_dense(),
+                               coo.to_dense().astype(np.float32),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_slab_pad_accounting():
+    coo = generate("band", 2048, 8, seed=1)
+    st = convert(coo, F32)
+    assert st.n_slots >= coo.nnz
+    assert st.n_slots <= slab_mod.PAD_LIMIT * coo.nnz + (1 << 16)
+    # stream rows are grouped: uids non-decreasing, one block per unit
+    uids = np.asarray(st.uids)
+    assert (np.diff(uids) >= 0).all()
+    assert len(np.asarray(st.unit_ids)) == st.n_units
+
+
+def test_slab_estimate_matches_convert():
+    coo = powerlaw(4096, 4096 * 6, seed=9)
+    plan = slab_mod.estimate(coo, F32)
+    assert plan["feasible"]
+    st = convert(coo, F32)
+    assert st.m == plan["m"] and st.t_step == plan["t"]
+    assert st.n_slots == plan["slots"]
+
+
+def test_slab_empty_and_single():
+    empty = COOMatrix.from_triplets(64, 64, [], [], [], sort=True)
+    st = convert(empty, F32)
+    y = np.asarray(spmv_fn(F32)(st, np.zeros(64, np.float32)))
+    assert (y == 0).all()
+
+    single = COOMatrix.from_triplets(10, 10, [3], [7], [2.5], sort=True)
+    st = convert(single, F32)
+    x = np.arange(10, dtype=np.float32)
+    y = np.asarray(spmv_fn(F32)(st, x))
+    exp = np.zeros(10, np.float32)
+    exp[3] = 2.5 * 7
+    np.testing.assert_allclose(y, exp, rtol=1e-6)
+
+
+def test_slab_f64_interpret():
+    # f64 runs through interpret mode off-TPU (on TPU spmv raises, like bkt)
+    coo = generate("band", 256, 4, seed=0)
+    cfg = Config(format="slab", dtype="float64")
+    st = convert(coo, cfg)
+    x = np.random.default_rng(3).uniform(size=coo.n_col)
+    y = np.asarray(spmv_fn(cfg)(st, x))
+    ok, det = verify_result(coo, x, y, dtype=np.float64)
+    assert ok, det
