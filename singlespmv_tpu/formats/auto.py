@@ -56,11 +56,13 @@ def _stats(coo: COOMatrix, cfg: Config):
     return vsz, n_diag, blocks, runs, css_stream
 
 
-def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None) -> dict:
+def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
+                   _inner: bool = False) -> dict:
     """Seconds per SpMV by format, from the measured-rate model.
 
     ``plans`` (optional dict) collects per-format plan objects so convert can
-    reuse them instead of re-running the (sort-heavy) estimators."""
+    reuse them instead of re-running the (sort-heavy) estimators.  ``_inner``
+    marks the recursive call used to cost hyb's residual (no hyb-in-hyb)."""
     vsz, n_diag, blocks, runs, css_stream = _stats(coo, cfg)
     n, m, nnz = coo.n_row, coo.n_col, max(coo.nnz, 1)
     costs = {}
@@ -114,9 +116,11 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None) -> dict:
     if coo.nnz and pallas_pkg.supports(cfg.np_dtype):
         est_e = ellg_mod.estimate(coo, cfg)
         if est_e["feasible"]:
-            # the estimate already models the level cascade at measured
-            # per-m kernel rates plus the bkt_g residue tail
-            costs["ellg"] = est_e["est_s"]
+            # the cascade model prices stage-A rates only; measured r2-suite
+            # runs land ~1.3-3.3× slower than its estimate (raefsky3 est-win
+            # vs 16.85 meas, laminar 7.51, ohne2 8.11 — results/r2 suite log
+            # vs scripts/bench_slab.py), so calibrate by the median optimism
+            costs["ellg"] = 2.0 * est_e["est_s"]
     # slab: the fused windowed stream-row engine — single-pass gather/
     # multiply/run-reduce/route, ragged-free packing (the scattered-class
     # workhorse since r2; estimate() is an exact slot simulation on the
@@ -135,23 +139,29 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None) -> dict:
     costs["csr"] = nnz / SCATTER_RATE + (nnz * (vsz + 4) + n * vsz) / HBM_BPS
     costs["ss"] = 1.05 * costs["csr"]      # same gather bound + scan pass
     # hyb: dense-diagonal peel (DIA stream) + scattered residual.  The
-    # residual's cost is approximated by scaling the best whole-matrix
-    # scattered cost by the residual nnz fraction (x1.3: shallower buckets
-    # pad worse); hyb.convert re-picks the residual engine exactly.
+    # residual is costed EXACTLY: split off the peel and recurse the cost
+    # model on the leftover matrix (the r2 suite showed the old
+    # fraction-scaled guess off by 2-600× — ASIC_680ks landed on a csr
+    # residual at 0.03 GFLOPS while whole-matrix slab ran 1.86).
     from . import hyb as hyb_mod
 
-    est_h = hyb_mod.estimate(coo, cfg)
-    if est_h["feasible"]:
-        scatter = [v for k, v in costs.items()
-                   if k in ("bkt", "bkt_g", "css", "bsr")]
-        if est_h["resid_nnz"] == 0:
-            # pure-diagonal matrix: plain dia covers it; only offer hyb when
-            # dia itself is infeasible (peel subset under the density guard)
-            if "dia" not in costs:
-                costs["hyb"] = est_h["dia_sec"]
-        elif scatter and coo.nnz:
-            frac = est_h["resid_nnz"] / coo.nnz
-            costs["hyb"] = est_h["dia_sec"] + 1.3 * min(scatter) * frac
+    if not _inner:
+        est_h = hyb_mod.estimate(coo, cfg)
+        if est_h["feasible"]:
+            if est_h["resid_nnz"] == 0:
+                # pure-diagonal matrix: plain dia covers it; only offer hyb
+                # when dia itself is infeasible (peel subset under the guard)
+                if "dia" not in costs:
+                    costs["hyb"] = est_h["dia_sec"]
+            else:
+                peel_offs, _ = hyb_mod.plan_peel(coo, cfg)
+                _, rest = hyb_mod._split(coo, peel_offs, cfg)
+                rcosts = estimate_costs(rest, cfg, _inner=True)
+                rbest = min((v for k, v in rcosts.items()
+                             if k in hyb_mod._rest_modules() or k == "csr"),
+                            default=None)
+                if rbest is not None:
+                    costs["hyb"] = est_h["dia_sec"] + rbest
     return costs
 
 

@@ -12,8 +12,8 @@ density and give each part its optimal engine:
 
 - every diagonal offset whose nnz count clears a cost-model threshold is
   peeled into a DIA table (``formats.dia`` — static shifted slices of x);
-- the residual rides the best scattered format (bkt / bkt_g / bsr / css,
-  chosen by the same cost model ``formats.auto`` uses).
+- the residual rides the best scattered format (slab / bkt / bkt_g / bsr /
+  css / ellg, chosen by the same cost model ``formats.auto`` uses).
 
 This is the TPU analog of the classic GPU HYB (ELL+COO) split, re-cut along
 the axis that matters on this hardware: streaming vs lane-gather, not row
@@ -103,9 +103,10 @@ def _rest_modules():
     from . import bsr as bsr_mod
     from . import css as css_mod
     from . import ellg as ellg_mod
+    from . import slab as slab_mod
 
     return {"bkt": bkt_mod, "bkt_g": bkt_mod, "bsr": bsr_mod, "css": css_mod,
-            "ellg": ellg_mod}
+            "ellg": ellg_mod, "slab": slab_mod}
 
 
 def convert(coo: COOMatrix, cfg: Config) -> HYBState:

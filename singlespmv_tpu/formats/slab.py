@@ -47,26 +47,30 @@ LANES = 128
 UNIT_ROWS = 1024           # y rows per unit: 8 sublanes × 128 lanes
 M_CANDS = (1, 2, 4, 8, 16, 32)
 T_CANDS = (32, 64, 128)
-SPAN_CANDS = (1, 2)        # units per output block (8 or 16 σ-planes)
+SPAN_CANDS = (1, 2)        # unit mode: units per output block (8/16 σ-planes)
+BLK_PLANES = (8, 16, 32)   # blk mode: 128-row blocks per output block
 PAD_LIMIT = 6.0            # slots / nnz refusal bound
 # measured per-grid-step cost model, TPU v5e — fitted on the σ-plane kernel
 # across the 8-plane and 16-plane bench runs (scripts/bench_slab.py):
-# step ≈ FIXED + slots·(BASE + ROUTE·planes + SEL·m).
+# step ≈ FIXED + slots·(BASE + route + SEL·m), route per mode below.
 STEP_FIXED_S = 0.35e-6
 BASE_SLOT_S = 0.015e-9
-ROUTE_SLOT_S = 0.004e-9    # per σ-plane (gather + mask + reduce)
+ROUTE_SLOT_S = 0.004e-9    # unit mode, per σ-plane (gather + mask + reduce)
 SEL_SLOT_S = 0.0035e-9     # per window member (one-hot select)
+BLK_ROUTE_S = 0.008e-9     # blk mode: one gather + one-hot build
+BLK_MXU_S = 0.0003e-9      # blk mode, per plane (MXU one-hot contraction)
 
 
 @pytree_dataclass(meta=("n_row", "n_col", "nnz", "m", "t_step", "planes",
-                        "n_units", "cb_pad", "n_slots", "hub_off"))
+                        "mode", "n_units", "cb_pad", "n_slots", "hub_off"))
 class SlabState:
     n_row: int
     n_col: int
     nnz: int
     m: int                 # col-blocks per window
     t_step: int            # stream rows per grid step
-    planes: int            # 8 (single-unit blocks) or 16 (pair blocks)
+    planes: int            # σ-planes (unit) / block span (blk)
+    mode: str              # "unit" (σ-plane route) | "blk" (MXU route)
     n_units: int           # compact (nonempty) units
     cb_pad: int            # x-table col-blocks (window-aligned)
     n_slots: int
@@ -78,13 +82,15 @@ class SlabState:
     val: object            # (H, 128) values
     hm1: object            # (H, 128) int8
     idx: object            # (16, H, 128) int8 — σ-plane end-lanes, −1 masked
-    unit_ids: object       # (n_units,) int32 — original unit ids
+    unit_ids: object       # (n_units,) int32 — original unit/block ids
     lo_mask: object = None  # (n_units, 1) value-dtype — 0 where the unit's
     #                         own block is never a step's first (tiny units
     #                         fully inside a straddling step: their out block
     #                         is unwritten garbage; contributions arrive via
     #                         the previous block's hi half)
     hub_cols: object = None  # (n_hub,) int32 — appendix source columns
+    sig: object = None     # blk mode: (H, 128) int8 — per stream row its
+    #                        block offset from the step's first block
 
 
 # ----------------------------------------------------------------- packing ---
@@ -150,45 +156,87 @@ def _pad_units(urows, t, span):
     return urows + pads
 
 
-def _estimate_cols(rows0, cols0, nnz, extra_s=0.0) -> dict:
-    """Pick (m, T) by the measured step-cost model; exact slot accounting.
+def _pad_blocks(urows, t, planes):
+    """blk mode: pad stream-row counts so every grid step touches at most
+    ``planes`` consecutive compact 128-row blocks (the output block's span).
+    Returns per-block padded counts; total is a multiple of t."""
+    pads = np.zeros(len(urows), np.int64)
+    cur = 0
+    f = 0                 # first block of the step containing `cur`
+    s_prev = 0
+    for b, r in enumerate(urows):
+        s = cur // t
+        if cur % t == 0:
+            f = b
+        elif b > 0 and s != s_prev:
+            f = b - 1     # the step started inside the previous block
+        if b - f >= planes:
+            pad = t - (cur % t)
+            pads[b - 1] += pad
+            cur += pad
+            f = b
+            s = cur // t
+        s_prev = s
+        cur += int(r)
+    if cur % t:
+        pads[-1] += t - (cur % t)
+    return urows + pads
 
-    One lexsort by (unit, col); each window-size candidate m re-walks the
-    sorted stream (the walk is T-independent; T only pads unit row counts).
-    """
-    unit0 = rows0 >> 10
-    o0 = np.lexsort((cols0, unit0))
-    cols_s = cols0[o0]
-    unit_s = unit0[o0]
-    ub = np.flatnonzero(np.concatenate([[True], unit_s[1:] != unit_s[:-1]]))
-    unit_starts = np.append(ub, len(cols_s))
-    # density guard: skip walks that cannot half-fill rows even with perfect
-    # ranges (slots per (unit, block) × m bounds the expected row fill)
-    blocks = cols_s >> 7
-    chg = np.concatenate([[True], (unit_s[1:] != unit_s[:-1])
-                          | (blocks[1:] != blocks[:-1])])
-    spb = len(cols_s) / max(int(chg.sum()), 1)
+
+def _mode_cost(mode, planes, m, h, slots, t, extra_s):
+    if mode == "unit":
+        route = planes * ROUTE_SLOT_S
+    else:
+        route = BLK_ROUTE_S + planes * BLK_MXU_S
+    return extra_s + (h // t) * STEP_FIXED_S + slots * (
+        BASE_SLOT_S + route + m * SEL_SLOT_S)
+
+
+def _estimate_cols(rows0, cols0, nnz, extra_s=0.0) -> dict:
+    """Pick (mode, m, T, planes) by the measured step-cost model; exact slot
+    accounting.  One lexsort per scope (unit / 128-row block); each window
+    candidate m re-walks the sorted stream (the walk is T-independent)."""
     best = None
-    for m in M_CANDS:
-        if spb * m < 12 and m != M_CANDS[-1]:
-            continue
-        sizes, bases, urows = _walk(cols_s, unit_starts, m)
-        for t in T_CANDS:
-            for span in SPAN_CANDS:
-                h = int(_pad_units(urows, t, span).sum())
-                slots = h * LANES
-                if slots > PAD_LIMIT * nnz + (1 << 16):
-                    continue
-                sec = extra_s + (h // t) * STEP_FIXED_S + slots * (
-                    BASE_SLOT_S + 8 * span * ROUTE_SLOT_S + m * SEL_SLOT_S)
-                if best is None or sec < best["est_s"]:
-                    best = {"feasible": True, "est_s": sec, "slots": slots,
-                            "m": m, "t": t, "span": span, "order": o0,
-                            "sizes": sizes, "bases": bases, "urows": urows,
-                            "unit_ids": unit_s[ub].astype(np.int32)}
+    for mode, shift in (("unit", 10), ("blk", 7)):
+        scope0 = rows0 >> shift
+        o0 = np.lexsort((cols0, scope0))
+        cols_s = cols0[o0]
+        scope_s = scope0[o0]
+        sb = np.flatnonzero(np.concatenate([[True],
+                                            scope_s[1:] != scope_s[:-1]]))
+        scope_starts = np.append(sb, len(cols_s))
+        # density guard: skip walks that cannot half-fill rows even with
+        # perfect ranges (slots per (scope, block) × m bounds the row fill)
+        blocks = cols_s >> 7
+        chg = np.concatenate([[True], (scope_s[1:] != scope_s[:-1])
+                              | (blocks[1:] != blocks[:-1])])
+        spb = len(cols_s) / max(int(chg.sum()), 1)
+        for m in M_CANDS:
+            if spb * m < 12 and m != M_CANDS[-1]:
+                continue
+            sizes, bases, urows = _walk(cols_s, scope_starts, m)
+            cands = [("unit", 8 * s) for s in SPAN_CANDS] if mode == "unit" \
+                else [("blk", p) for p in BLK_PLANES]
+            for t in T_CANDS:
+                for _, planes in cands:
+                    if mode == "unit":
+                        h = int(_pad_units(urows, t, planes // 8).sum())
+                    else:
+                        h = int(_pad_blocks(urows, t, planes).sum())
+                    slots = h * LANES
+                    if slots > PAD_LIMIT * nnz + (1 << 16):
+                        continue
+                    sec = _mode_cost(mode, planes, m, h, slots, t, extra_s)
+                    if best is None or sec < best["est_s"]:
+                        best = {"feasible": True, "est_s": sec,
+                                "slots": slots, "m": m, "t": t,
+                                "planes": planes, "mode": mode, "order": o0,
+                                "sizes": sizes, "bases": bases,
+                                "urows": urows,
+                                "unit_ids": scope_s[sb].astype(np.int32)}
     if best is None:
         return {"feasible": False, "est_s": float("inf"), "slots": 0,
-                "m": 1, "t": 32, "span": 1}
+                "m": 1, "t": 32, "planes": 8, "mode": "unit"}
     return best
 
 
@@ -244,8 +292,8 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
             return _empty_state(coo, cfg)
         raise ValueError("slab: padding/collision bounds exceeded "
                          f"(slots={plan['slots']}, nnz={coo.nnz})")
-    m, t_step, span = plan["m"], plan["t"], plan["span"]
-    planes = 8 * span
+    m, t_step = plan["m"], plan["t"]
+    mode, planes = plan["mode"], plan["planes"]
     dtype = cfg.np_dtype
 
     o = plan["order"]
@@ -260,9 +308,10 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
     rows, cols = rows[o], cols[o]
     vals = hm.astype(coo.val, dtype)[o]
 
-    # pad units for the block span; map walk rows → final rows
+    # pad scopes for the block span; map walk rows → final rows
     n_units = len(urows)
-    rows_pad = _pad_units(urows, t_step, span)
+    rows_pad = _pad_units(urows, t_step, planes // 8) if mode == "unit" \
+        else _pad_blocks(urows, t_step, planes)
     h = int(rows_pad.sum())
     ustart = np.concatenate([[0], np.cumsum(rows_pad)[:-1]])
     wstart = np.concatenate([[0], np.cumsum(urows)[:-1]])
@@ -310,19 +359,33 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
     uids = unit_of_frow[::t_step].astype(np.int32)
     assert len(uids) == n_steps
 
-    # σ ∈ [0, 16): pair-local sublane — offset 8 when the run's unit is the
-    # step's second unit
     ur_run = unit_of_frow[sr_run]
     first_run = uids[sr_run // t_step].astype(np.int64)
     off = ur_run - first_run
-    assert off.min(initial=0) >= 0 and off.max(initial=0) <= span - 1, \
-        "slab: a grid step spans more units than the block covers"
-    sigma = ((r_run & (UNIT_ROWS - 1)) >> 7) + 8 * off
     l_run = r_run & (LANES - 1)
-    # σ-planes never collide: (σ, l) ↔ row inside the block span, one run
-    # per row per stream row (slots row-sorted within stream rows)
-    idx = hm.full((planes, h, LANES), -1, np.int8)
-    idx[sigma, sr_run, l_run] = e_lane.astype(np.int8)
+    sig = None
+    if mode == "unit":
+        # σ ∈ [0, planes): span-local sublane — offset 8 per unit past first
+        assert off.min(initial=0) >= 0 and \
+            off.max(initial=0) <= planes // 8 - 1, \
+            "slab: a grid step spans more units than the block covers"
+        sigma = ((r_run & (UNIT_ROWS - 1)) >> 7) + 8 * off
+        # σ-planes never collide: (σ, l) ↔ row inside the block span, one
+        # run per row per stream row (slots row-sorted within stream rows)
+        idx = hm.full((planes, h, LANES), -1, np.int8)
+        idx[sigma, sr_run, l_run] = e_lane.astype(np.int8)
+    else:
+        # one plane: rows in a stream row share the 128-row block, so target
+        # lanes are distinct; σ per STREAM ROW routes through the MXU one-hot
+        assert off.min(initial=0) >= 0 and off.max(initial=0) < planes, \
+            "slab: a grid step spans more blocks than the output covers"
+        idx = hm.full((h, LANES), -1, np.int8)
+        idx[sr_run, l_run] = e_lane.astype(np.int8)
+        sig_row = hm.zeros(h, np.int8)
+        sig_row[final_row] = (
+            ur - uids[(final_row // t_step).astype(np.int64)]
+        ).astype(np.int8)
+        sig = np.broadcast_to(sig_row[:, None], (h, LANES)).copy()
 
     # units never first in any step get their (unwritten) lo block masked
     written = hm.zeros(n_units, np.bool_)
@@ -335,20 +398,22 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
 
     return SlabState(
         n_row=coo.n_row, n_col=coo.n_col, nnz=coo.nnz, m=m, t_step=t_step,
-        planes=planes, n_units=n_units, cb_pad=cb_pad, n_slots=h * LANES,
+        planes=planes, mode=mode, n_units=n_units, cb_pad=cb_pad,
+        n_slots=h * LANES,
         hub_off=hub_off if hub_cols is not None else 0,
         uids=device_put(uids), win=device_put(win_b),
         lane=device_put(lane), sub=device_put(sub), val=device_put(val),
         hm1=device_put(hm1), idx=device_put(idx),
         unit_ids=device_put(unit_ids), lo_mask=device_put(lo_mask),
-        hub_cols=device_put(hub_cols) if hub_cols is not None else None)
+        hub_cols=device_put(hub_cols) if hub_cols is not None else None,
+        sig=device_put(sig) if sig is not None else None)
 
 
 def _empty_state(coo, cfg):
     dtype = cfg.np_dtype
     return SlabState(
         n_row=coo.n_row, n_col=coo.n_col, nnz=0, m=1, t_step=32, planes=8,
-        n_units=0, cb_pad=1, n_slots=0, hub_off=0,
+        mode="unit", n_units=0, cb_pad=1, n_slots=0, hub_off=0,
         uids=device_put(hm.zeros(0, np.int32)),
         win=device_put(hm.zeros(0, np.int32)),
         lane=device_put(hm.zeros((0, LANES), np.int8)),
@@ -381,6 +446,25 @@ def spmv(state: SlabState, x):
         app = jnp.take(x, state.hub_cols, axis=0)
         xp = xp.at[state.hub_off: state.hub_off + app.shape[0]].set(app)
     xp = xp.reshape(state.cb_pad, LANES)
+    if state.mode == "blk":
+        from ..ops.pallas.slab import slab_spmv_blk
+
+        out = slab_spmv_blk(state.uids, state.win, state.lane, state.sub,
+                            state.val, state.hm1, state.idx, state.sig, xp,
+                            state.n_units, state.m, state.planes,
+                            state.t_step)
+        outv = out.reshape(state.n_units, state.planes, LANES)
+        ok = (state.lo_mask > 0)[:, None, :]
+        outv = jnp.where(ok, outv, jnp.zeros((), x.dtype))
+        # diagonal shift-add: out block f row j → compact block f + j
+        yb = outv[:, 0, :]
+        for j in range(1, min(state.planes, state.n_units)):
+            yb = yb + jnp.concatenate(
+                [jnp.zeros((j, LANES), yb.dtype), outv[:-j, j, :]], axis=0)
+        nb_tot = cdiv(max(n, 1), LANES)
+        y2 = jnp.zeros((nb_tot, LANES), x.dtype)
+        y2 = y2.at[state.unit_ids].set(yb, mode="drop", unique_indices=True)
+        return y2.reshape(-1)[:n]
     out = slab_spmv(state.uids, state.win, state.lane, state.sub, state.val,
                     state.hm1, state.idx, xp, state.n_units, state.m,
                     state.t_step)
@@ -444,14 +528,22 @@ def to_coo(state: SlabState) -> COOMatrix:
         cols = np.where(is_app, hub[np.minimum(cols - state.hub_off,
                                                len(hub) - 1)], cols)
     rows = hm.full((h, LANES), -1, np.int64)
-    for sigma in range(idx.shape[0]):
-        e = idx[sigma]
-        valid = e >= 0
+    if state.mode == "blk":
+        sig = np.asarray(state.sig)[:, 0].astype(np.int64)
+        valid = idx >= 0
         sr_i, l_i = np.nonzero(valid)
-        end_lane = e[sr_i, l_i]
-        cu = first_cu[sr_i] + (sigma >= 8)
-        rr = unit_ids[cu] * UNIT_ROWS + (sigma % 8) * LANES + l_i
-        rows[sr_i, end_lane] = rr
+        end_lane = idx[sr_i, l_i]
+        blk = unit_ids[first_cu[sr_i] + sig[sr_i]]
+        rows[sr_i, end_lane] = blk * LANES + l_i
+    else:
+        for sigma in range(idx.shape[0]):
+            e = idx[sigma]
+            valid = e >= 0
+            sr_i, l_i = np.nonzero(valid)
+            end_lane = e[sr_i, l_i]
+            cu = first_cu[sr_i] + (sigma >= 8)
+            rr = unit_ids[cu] * UNIT_ROWS + (sigma % 8) * LANES + l_i
+            rows[sr_i, end_lane] = rr
     # propagate row ids backward across each run (ends carry the id);
     # slot j+1 heads a new run iff hm1[j+1] == j, i.e. its run head is j+1
     for j in range(LANES - 2, -1, -1):

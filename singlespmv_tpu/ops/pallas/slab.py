@@ -69,22 +69,11 @@ def _run_totals(v, hm1):
     return p - jnp.where(h >= 0, ph, jnp.zeros_like(ph))
 
 
-def _slab_kernel(uids_ref, win_ref, lane_ref, sub_ref, val_ref, hm1_ref,
-                 idx_ref, x_ref, out_ref, *, m: int, planes: int):
-    t = pl.program_id(0)
+def _gather_mul(win_ref, lane_ref, sub_ref, val_ref, x_ref, t, *, m):
+    """Window assembly + lane gather + m-way one-hot select + multiply."""
     T = lane_ref.shape[0]
-
-    first = jnp.logical_or(
-        t == 0, uids_ref[jnp.maximum(t, 1)] != uids_ref[jnp.maximum(t, 1) - 1])
-
-    @pl.when(first)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    # window assembly: one dynamic (m, 128) slice of the VMEM x table per row
     wins = [x_ref[pl.ds(win_ref[t * T + r], m), :] for r in range(T)]
     ws = jnp.concatenate(wins, axis=0) if T > 1 else wins[0]   # (T·m, 128)
-
     lane = lane_ref[:].astype(jnp.int32)                        # (T, 128)
     if m == 1:
         g = jnp.take_along_axis(ws, lane, axis=1)
@@ -95,8 +84,22 @@ def _slab_kernel(uids_ref, win_ref, lane_ref, sub_ref, val_ref, hm1_ref,
         sub = sub_ref[:].astype(jnp.int32)                      # (T, 128)
         srow = jax.lax.broadcasted_iota(jnp.int32, (T, m, LANES), 1)
         g = jnp.sum(jnp.where(srow == sub[:, None, :], tk, 0.0), axis=1)
+    return val_ref[:] * g
 
-    w = _run_totals(val_ref[:] * g, hm1_ref[:])
+
+def _slab_kernel(uids_ref, win_ref, lane_ref, sub_ref, val_ref, hm1_ref,
+                 idx_ref, x_ref, out_ref, *, m: int, planes: int):
+    t = pl.program_id(0)
+
+    first = jnp.logical_or(
+        t == 0, uids_ref[jnp.maximum(t, 1)] != uids_ref[jnp.maximum(t, 1) - 1])
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w = _run_totals(_gather_mul(win_ref, lane_ref, sub_ref, val_ref, x_ref,
+                                t, m=m), hm1_ref[:])
 
     outs = []
     for sigma in range(planes):
@@ -106,6 +109,40 @@ def _slab_kernel(uids_ref, win_ref, lane_ref, sub_ref, val_ref, hm1_ref,
         outs.append(jnp.sum(jnp.where(valid, picked, 0.0), axis=0,
                             keepdims=True))
     out_ref[:] += jnp.concatenate(outs, axis=0)
+
+
+def _slab_blk_kernel(uids_ref, win_ref, lane_ref, sub_ref, val_ref, hm1_ref,
+                     idx_ref, sig_ref, x_ref, out_ref, *, m: int,
+                     planes: int):
+    """Block-granular route: every stream row targets ONE 128-row block, so a
+    single end-lane plane suffices (rows inside a block are lane-distinct)
+    and the per-row block offset σ routes through one MXU one-hot matmul
+    (planes, T) @ (T, 128) instead of `planes` VPU masked reductions."""
+    t = pl.program_id(0)
+    T = lane_ref.shape[0]
+
+    first = jnp.logical_or(
+        t == 0, uids_ref[jnp.maximum(t, 1)] != uids_ref[jnp.maximum(t, 1) - 1])
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w = _run_totals(_gather_mul(win_ref, lane_ref, sub_ref, val_ref, x_ref,
+                                t, m=m), hm1_ref[:])
+
+    e = idx_ref[:].astype(jnp.int32)                            # (T, 128)
+    valid = e >= 0
+    picked = jnp.take_along_axis(w, jnp.where(valid, e, 0), axis=1)
+    masked = jnp.where(valid, picked, 0.0)
+    sig = sig_ref[:, :planes].astype(jnp.int32)                 # (T, planes)
+    oh = (sig == jax.lax.broadcasted_iota(jnp.int32, (T, planes), 1)
+          ).astype(w.dtype)
+    acc = jnp.float32 if w.dtype in (jnp.bfloat16, jnp.float16,
+                                     jnp.float32) else w.dtype
+    out_ref[:] += jnp.dot(oh.T, masked, preferred_element_type=acc,
+                          precision=jax.lax.Precision.HIGHEST
+                          ).astype(w.dtype)
 
 
 def slab_spmv(uids, win, lane, sub, val, hm1, idx, x_table, nu: int,
@@ -147,3 +184,35 @@ def slab_spmv(uids, win, lane, sub, val, hm1, idx, x_table, nu: int,
         ),
         interpret=_use_interpret(),
     )(uids, win, lane, sub, val, hm1, idx, x_table)
+
+
+def slab_spmv_blk(uids, win, lane, sub, val, hm1, idx, sig, x_table, nb: int,
+                  m: int, planes: int, T: int = 128):
+    """Block-granular variant (see _slab_blk_kernel).
+
+    uids: (n_steps,) int32 — compact first 128-row block per step.
+    idx:  (H, 128) int8 — single end-lane plane, −1 masked.
+    sig:  (H, 128) int8 — per stream row its block offset from the step's
+          first block, lane-replicated.
+    Returns (nb·planes, 128): out block f row j accumulates contributions to
+    compact block f+j (host shift-adds the diagonals).
+    """
+    h = lane.shape[0]
+    n_steps = h // T
+    spec8 = lambda: pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_slab_blk_kernel, m=m, planes=planes),
+        out_shape=jax.ShapeDtypeStruct((nb * planes, LANES), val.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_steps,),
+            in_specs=[
+                spec8(), spec8(), spec8(), spec8(), spec8(), spec8(),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((planes, LANES), lambda t, u, w: (u[t], 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=_use_interpret(),
+    )(uids, win, lane, sub, val, hm1, idx, sig, x_table)

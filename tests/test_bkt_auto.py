@@ -235,7 +235,7 @@ class TestPlannerClasses:
     CASES = [
         ("band", lambda: generate("band", 1024, 8, seed=31), {"dia", "hyb"}),
         ("block-fem", lambda: _block_fem_small(), {"bsr", "bkt", "bkt_g",
-                                                   "dense", "hyb"}),
+                                                   "dense", "hyb", "slab"}),
         ("scattered", lambda: powerlaw(4096, 40000, seed=33),
          {"bkt_g", "bkt", "css", "slab"}),
         ("web", lambda: powerlaw(8192, 40000, seed=34),

@@ -96,6 +96,29 @@ def test_slab_empty_and_single():
     np.testing.assert_allclose(y, exp, rtol=1e-6)
 
 
+def test_slab_blk_mode():
+    """The blk route (single idx plane + MXU one-hot) must verify end-to-end
+    when the planner picks it; force it by monkey-patching the candidate
+    sets so only blk plans are offered."""
+    coo = powerlaw(4096, 4096 * 10, seed=21)
+    orig_span, orig_blk = slab_mod.SPAN_CANDS, slab_mod.BLK_PLANES
+    try:
+        slab_mod.SPAN_CANDS = ()
+        st = convert(coo, F32)
+    finally:
+        slab_mod.SPAN_CANDS = orig_span
+        slab_mod.BLK_PLANES = orig_blk
+    assert st.mode == "blk" and st.sig is not None
+    x = np.random.default_rng(3).uniform(size=coo.n_col).astype(np.float32)
+    y = np.asarray(jax.jit(spmv_fn(F32))(st, x))
+    ok, det = verify_result(coo, x, y, dtype=np.float32)
+    assert ok, det
+    back = to_coo(st, F32)
+    np.testing.assert_allclose(back.to_dense(),
+                               coo.to_dense().astype(np.float32),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_slab_f64_interpret():
     # f64 runs through interpret mode off-TPU (on TPU spmv raises, like bkt)
     coo = generate("band", 256, 4, seed=0)
