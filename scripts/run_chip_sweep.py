@@ -19,7 +19,7 @@ TODO = "\n".join(
     ["prefix,format,variant,segment_width,n_block,sigma,calibrate_seconds,n_trials"]
     + [f"{f},{f},optimized,,,,0.3,3"
        for f in ("csr", "coo", "ell", "jds", "dia", "dense", "bsr", "bkt",
-                 "auto")]
+                 "slab", "auto")]
     + [f"ss-opt-{w},ss,optimized,{w},,,0.3,3" for w in (256, 1024, 4096, 16384)]
     + [f"ss-simple-{w},ss,simple,{w},,,0.3,3" for w in (1024, 16384)]
     + [f"css-opt,css,optimized,2048,,,0.3,3"]

@@ -84,9 +84,12 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
                         + 2 * combine_slots / SCATTER_RATE
                         + css_stream * (vsz + 4) / HBM_BPS)
     # bkt: two-phase scatter-free bucketing (streamed slots + lane gather).
+    # Giant guard: bkt.estimate materializes the full bucket-key pipeline
+    # (measured 41 GB RSS / 423 s on cage15's 99 M nnz) and bkt never beats
+    # slab at that scale — skip it past 30 M nnz.
     from ..ops import pallas as pallas_pkg
 
-    if coo.nnz and pallas_pkg.supports(cfg.np_dtype):
+    if coo.nnz and coo.nnz <= 30_000_000 and pallas_pkg.supports(cfg.np_dtype):
         # stage A: lane+val+prod = 9 B/slot streamed + wide lane gather
         # (measured 64 G elem/s at W=1024); stage B: prod+hm1+idx streamed +
         # the MXU prefix (256 flop/slot).
@@ -113,14 +116,12 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
     # row path (circuit/econ/mesh classes where bkt's bucket padding explodes).
     from . import ellg as ellg_mod
 
-    if coo.nnz and pallas_pkg.supports(cfg.np_dtype):
-        est_e = ellg_mod.estimate(coo, cfg)
-        if est_e["feasible"]:
-            # the cascade model prices stage-A rates only; measured r2-suite
-            # runs land ~1.3-3.3× slower than its estimate (raefsky3 est-win
-            # vs 16.85 meas, laminar 7.51, ohne2 8.11 — results/r2 suite log
-            # vs scripts/bench_slab.py), so calibrate by the median optimism
-            costs["ellg"] = 2.0 * est_e["est_s"]
+    # ellg is NOT offered: measured r2-suite picks were dominated by slab on
+    # every overlap (ohne2 8.13 vs slab 17.29, TSOPF 13.34 vs 28.22, raefsky3
+    # 16.85 vs 25.55, laminar 7.51 vs 19.94 — results/r2_tpu_suite logs vs
+    # results/r2_slab_bench.log), and its stage-A-rate estimate stays ~3×
+    # optimistic even with a flat calibration.  The format remains available
+    # explicitly (Config(format="ellg")).
     # slab: the fused windowed stream-row engine — single-pass gather/
     # multiply/run-reduce/route, ragged-free packing (the scattered-class
     # workhorse since r2; estimate() is an exact slot simulation on the
@@ -161,7 +162,11 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
                              if k in hyb_mod._rest_modules() or k == "csr"),
                             default=None)
                 if rbest is not None:
-                    costs["hyb"] = est_h["dia_sec"] + rbest
+                    # two-engine fixed tax: dia kernel dispatch + the y-add
+                    # pass (measured: g7jac hyb 186 µs total vs 93 µs
+                    # whole-matrix slab — the split only pays off when the
+                    # peel removes real work, not on small/fast matrices)
+                    costs["hyb"] = est_h["dia_sec"] + rbest + 80e-6
     return costs
 
 

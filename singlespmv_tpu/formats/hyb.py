@@ -99,14 +99,15 @@ class HYBState:
 
 
 def _rest_modules():
+    # ellg excluded for the same measured-domination reason as in
+    # formats.auto.estimate_costs (slab beats it on every r2-suite overlap)
     from . import bkt as bkt_mod
     from . import bsr as bsr_mod
     from . import css as css_mod
-    from . import ellg as ellg_mod
     from . import slab as slab_mod
 
     return {"bkt": bkt_mod, "bkt_g": bkt_mod, "bsr": bsr_mod, "css": css_mod,
-            "ellg": ellg_mod, "slab": slab_mod}
+            "slab": slab_mod}
 
 
 def convert(coo: COOMatrix, cfg: Config) -> HYBState:

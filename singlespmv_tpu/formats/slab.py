@@ -49,7 +49,10 @@ M_CANDS = (1, 2, 4, 8, 16, 32)
 T_CANDS = (32, 64, 128)
 SPAN_CANDS = (1, 2)        # unit mode: units per output block (8/16 σ-planes)
 BLK_PLANES = (8, 16, 32)   # blk mode: 128-row blocks per output block
-PAD_LIMIT = 6.0            # slots / nnz refusal bound
+PAD_LIMIT = 16.0           # slots / nnz refusal bound — generous: even a
+#                            pad-12 slab runs ~10× the csr gather fallback;
+#                            auto's cost model arbitrates, this only guards
+SLOT_MEM_CAP = 6 << 30     # bytes of slot arrays a state may allocate
 # measured per-grid-step cost model, TPU v5e — fitted on the σ-plane kernel
 # across the 8-plane and 16-plane bench runs (scripts/bench_slab.py):
 # step ≈ FIXED + slots·(BASE + route + SEL·m), route per mode below.
@@ -186,10 +189,13 @@ def _pad_blocks(urows, t, planes):
 def _mode_cost(mode, planes, m, h, slots, t, extra_s):
     if mode == "unit":
         route = planes * ROUTE_SLOT_S
+        bps = 7 + planes
     else:
         route = BLK_ROUTE_S + planes * BLK_MXU_S
-    return extra_s + (h // t) * STEP_FIXED_S + slots * (
-        BASE_SLOT_S + route + m * SEL_SLOT_S)
+        bps = 9
+    dma = slots * bps / 700e9          # HBM stream floor
+    compute = slots * (BASE_SLOT_S + route + m * SEL_SLOT_S)
+    return extra_s + (h // t) * STEP_FIXED_S + max(dma, compute)
 
 
 def _estimate_cols(rows0, cols0, nnz, extra_s=0.0) -> dict:
@@ -197,6 +203,12 @@ def _estimate_cols(rows0, cols0, nnz, extra_s=0.0) -> dict:
     accounting.  One lexsort per scope (unit / 128-row block); each window
     candidate m re-walks the sorted stream (the walk is T-independent)."""
     best = None
+    nnz = len(rows0)
+    # giant guard: the greedy walk is a Python loop per stream row; past
+    # ~40 M nnz restrict the candidate grid (measured: the full grid takes
+    # ~10 min on cage15's 99 M nnz, the restricted one ~2 min)
+    m_cands = M_CANDS if nnz <= 40_000_000 else (4, 16)
+    t_cands = T_CANDS if nnz <= 40_000_000 else (128,)
     for mode, shift in (("unit", 10), ("blk", 7)):
         scope0 = rows0 >> shift
         o0 = np.lexsort((cols0, scope0))
@@ -211,20 +223,22 @@ def _estimate_cols(rows0, cols0, nnz, extra_s=0.0) -> dict:
         chg = np.concatenate([[True], (scope_s[1:] != scope_s[:-1])
                               | (blocks[1:] != blocks[:-1])])
         spb = len(cols_s) / max(int(chg.sum()), 1)
-        for m in M_CANDS:
-            if spb * m < 12 and m != M_CANDS[-1]:
+        for m in m_cands:
+            if spb * m < 12 and m != m_cands[-1]:
                 continue
             sizes, bases, urows = _walk(cols_s, scope_starts, m)
             cands = [("unit", 8 * s) for s in SPAN_CANDS] if mode == "unit" \
                 else [("blk", p) for p in BLK_PLANES]
-            for t in T_CANDS:
+            for t in t_cands:
                 for _, planes in cands:
                     if mode == "unit":
                         h = int(_pad_units(urows, t, planes // 8).sum())
                     else:
                         h = int(_pad_blocks(urows, t, planes).sum())
                     slots = h * LANES
-                    if slots > PAD_LIMIT * nnz + (1 << 16):
+                    bps = (7 + planes) if mode == "unit" else 9
+                    if slots > PAD_LIMIT * nnz + (1 << 16) or \
+                            slots * bps > SLOT_MEM_CAP:
                         continue
                     sec = _mode_cost(mode, planes, m, h, slots, t, extra_s)
                     if best is None or sec < best["est_s"]:

@@ -91,15 +91,16 @@ class TestELLG:
         assert st.rest_fmt in ("bkt_g", "csr")
         assert st.rest_nnz >= 6 * (700 - 128) * 0.5   # heavy tails spilled
 
-    def test_auto_offers_ellg_on_local(self):
+    def test_auto_withholds_ellg(self):
         from singlespmv_tpu.formats.auto import estimate_costs
 
-        # large-n light rows: the bucket grid pads out, ellg stays ~1.5x
+        # ellg is deliberately NOT an auto candidate since r2: measured suite
+        # picks were dominated by slab on every overlap (see auto.py note);
+        # it stays available as an explicit format
         coo = _local(50000, 3, 120, seed=8)
         costs = estimate_costs(coo, Config(dtype="float32"))
-        assert "ellg" in costs
-        rivals = [v for k, v in costs.items() if k in ("bkt_g", "csr", "css")]
-        assert costs["ellg"] < min(rivals)
+        assert "ellg" not in costs
+        assert "slab" in costs
 
     def test_spmm_matches_columnwise(self):
         coo = _local(800, 4, 30, seed=9)

@@ -83,14 +83,20 @@ def test_hyb_spmm_matches_columnwise_spmv():
 
 def test_auto_offers_hyb_on_stencil_mix():
     """A jittered-stencil + scatter matrix must surface a hyb candidate whose
-    cost beats the pure scattered paths (the natural-suite regime)."""
+    cost beats the pure scattered paths (the natural-suite regime).  The mix
+    must carry enough peelable work to clear hyb's two-engine fixed tax
+    (~80 µs — a 1k-row toy is correctly judged too small to split)."""
     from singlespmv_tpu.formats.auto import estimate_costs
 
-    coo = _mixed(n=1024, seed=8)
+    coo = _mixed(n=131072, seed=8)
     costs = estimate_costs(coo, Config(dtype="float32"))
     assert "hyb" in costs
-    scattered = [v for k, v in costs.items() if k in ("bkt", "bkt_g", "css")]
+    scattered = [v for k, v in costs.items()
+                 if k in ("bkt", "bkt_g", "css", "slab")]
     assert costs["hyb"] < min(scattered)
+    # and the tax is real: tiny mixes must NOT pick hyb over one-engine paths
+    small = estimate_costs(_mixed(n=1024, seed=8), Config(dtype="float32"))
+    assert min(small, key=small.get) != "hyb"
 
 
 def test_auto_withholds_hyb_on_pure_scatter():
