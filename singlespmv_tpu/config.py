@@ -35,6 +35,9 @@ class Config:
     bkt_balance: bool = True        # bkt lane-preserving row balance permutation
     bkt_row_group: int = 128        # bkt rows per bucket (128 | 1024 grouped mode)
 
+    auto_exclude: tuple = ()        # auto planner: formats to skip (driver
+    #                                 retry path after a device OOM/crash)
+
     # --- numerics ---
     dtype: str = "float32"          # value dtype on device: float32|float64|bfloat16
 

@@ -227,6 +227,8 @@ def convert(coo: COOMatrix, cfg: Config, log=None) -> AutoState:
         log = lambda m: print(m, file=sys.stderr, flush=True)  # noqa: E731
     plans = {}
     costs = estimate_costs(coo, cfg, plans=plans)
+    for ex in cfg.auto_exclude:
+        costs.pop(ex, None)
     last_err = None
     for chosen in sorted(costs, key=costs.get):
         ccfg = cfg.replace(bkt_row_group=1024) if chosen == "bkt_g" else cfg
@@ -237,8 +239,14 @@ def convert(coo: COOMatrix, cfg: Config, log=None) -> AutoState:
                 return AutoState(chosen, _MODULES[chosen].convert(
                     coo, ccfg, plan=plans[chosen]))
             return AutoState(chosen, _MODULES[chosen].convert(coo, ccfg))
-        except (ValueError, TypeError) as e:   # guard refused — next candidate
+        # ValueError/TypeError: a guard refused.  RuntimeError/MemoryError:
+        # device OOM or compile failure at convert time (jax's JaxRuntimeError
+        # subclasses RuntimeError) — r2's Freescale1/rajat31 died here instead
+        # of falling through to the next candidate (VERDICT.md "What's weak" 4).
+        except (ValueError, TypeError, RuntimeError, MemoryError) as e:
             last_err = e
+            if log:
+                log(f"auto: {chosen} failed ({type(e).__name__}); next")
     raise last_err if last_err else ValueError("auto: no viable format")
 
 

@@ -78,8 +78,11 @@ def fingerprint(coo, cfg: Config) -> dict:
     h.update(np.ascontiguousarray(coo.row).tobytes())
     h.update(np.ascontiguousarray(coo.col).tobytes())
     h.update(np.ascontiguousarray(coo.val).tobytes())
+    # json round-trip so tuples in Config compare equal to the lists a saved
+    # .json gives back
+    cfg_d = json.loads(json.dumps(dataclasses.asdict(cfg)))
     return {"n_row": coo.n_row, "n_col": coo.n_col, "nnz": coo.nnz,
-            "digest": h.hexdigest(), "config": dataclasses.asdict(cfg)}
+            "digest": h.hexdigest(), "config": cfg_d}
 
 
 def save_state(path: str, state: Any, coo=None, cfg: Config = None) -> None:

@@ -130,30 +130,48 @@ def run_benchmark(
     xd = jax.numpy.asarray(np.asarray(x, dtype=cfg.np_dtype))
 
     # --- OptimizeProblem (format conversion), timed (CSR5 reports this too) ---
-    log(f"{mat_name}: convert (format={cfg.format}) ...")
-    t0 = now()
-    state = formats.convert(coo, cfg)
-    state = jax.block_until_ready(state)
-    optimize_s = now() - t0
+    # With format=auto, a candidate that converts fine can still OOM/crash at
+    # compile or first execution (r2: Freescale1/rajat31 JaxRuntimeError) —
+    # retry with that candidate excluded until one survives its first runs.
+    for _attempt in range(4):
+        log(f"{mat_name}: convert (format={cfg.format}) ...")
+        t0 = now()
+        state = formats.convert(coo, cfg)
+        state = jax.block_until_ready(state)
+        optimize_s = now() - t0
 
-    log(f"{mat_name}: converted in {optimize_s:.1f}s; compiling ...")
-    spmv = jax.jit(formats.spmv_fn(cfg))
-    t0 = now()
-    y = spmv(state, xd)
-    sync(y)
-    compile_s = now() - t0
-    log(f"{mat_name}: compiled in {compile_s:.1f}s")
+        log(f"{mat_name}: converted in {optimize_s:.1f}s; compiling ...")
+        spmv = jax.jit(formats.spmv_fn(cfg))
+        try:
+            t0 = now()
+            y = spmv(state, xd)
+            sync(y)
+            compile_s = now() - t0
+            log(f"{mat_name}: compiled in {compile_s:.1f}s")
 
-    # --- verify twice (main.cpp:40-56; catches operand-corrupting converts) ---
-    verify_ok = True
-    vdetails = {}
-    if cfg.verify:
-        for trial in range(2):
-            y = jax.block_until_ready(spmv(state, xd))
-            ok, vdetails = verify_result(coo, x, np.asarray(y), dtype=cfg.np_dtype)
-            verify_ok = verify_ok and ok
-            if not ok:
-                log(f"VERIFY FAILED (pass {trial}): {vdetails}")
+            # --- verify twice (main.cpp:40-56; catches operand corruption) ---
+            verify_ok = True
+            vdetails = {}
+            if cfg.verify:
+                for trial in range(2):
+                    y = jax.block_until_ready(spmv(state, xd))
+                    ok, vdetails = verify_result(coo, x, np.asarray(y),
+                                                 dtype=cfg.np_dtype)
+                    verify_ok = verify_ok and ok
+                    if not ok:
+                        log(f"VERIFY FAILED (pass {trial}): {vdetails}")
+            break
+        except RuntimeError as e:
+            chosen = getattr(state, "chosen", None)
+            if cfg.format != "auto" or chosen is None or _attempt == 3:
+                raise
+            log(f"{mat_name}: {chosen} died at first run "
+                f"({type(e).__name__}); excluding and re-planning")
+            cfg = cfg.replace(auto_exclude=cfg.auto_exclude + (chosen,))
+            del state
+            import gc
+
+            gc.collect()
 
     # --- calibration: double loop until a trial takes >= calibrate_seconds ---
     run_n = make_chained_runner(formats.spmv_fn(cfg), xd)
