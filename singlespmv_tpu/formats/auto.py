@@ -165,7 +165,13 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
                     # two-engine fixed tax: dia kernel dispatch + the y-add
                     # pass (measured: g7jac hyb 186 µs total vs 93 µs
                     # whole-matrix slab — the split only pays off when the
-                    # peel removes real work, not on small/fast matrices)
+                    # peel removes real work, not on small/fast matrices).
+                    # Calibration check (r3, vs measured r2 chip runs): this
+                    # model now picks the truly-faster engine on 5 of 6
+                    # measured overlaps (g7jac/xenon2 -> slab, Chebyshev4/
+                    # PR02R/para-4 -> hyb; stomach picks hyb at a measured
+                    # 5% loss).  A flat real/est factor was tried and
+                    # rejected: it flips para-4 to slab, a 13% loss.
                     costs["hyb"] = est_h["dia_sec"] + rbest + 80e-6
     return costs
 

@@ -295,10 +295,19 @@ def _hub_relabel(cols0, degs, n_col):
     return cand.astype(np.int32), cols_eff, off
 
 
+X_TABLE_CAP = 96 << 20     # VMEM-resident x table bound (v5e: 128 MB VMEM,
+#                            kernel raises Mosaic's scoped limit to ~110 MB)
+
+
 def estimate(coo: COOMatrix, cfg: Config) -> dict:
     if coo.nnz == 0 or coo.n_row == 0:
         return {"feasible": False, "est_s": 0.0, "slots": 0, "m": 1, "t": 32,
                 "hub_cols": None, "cols_eff": None, "hub_off": 0}
+    if cdiv(coo.n_col, LANES) * LANES * np.dtype(cfg.dtype).itemsize \
+            > X_TABLE_CAP:
+        return {"feasible": False, "est_s": float("inf"), "slots": 0,
+                "m": 1, "t": 32, "hub_cols": None, "cols_eff": None,
+                "hub_off": 0}
     rows0 = hm.astype(coo.row, np.int64)
     cols0 = hm.astype(coo.col, np.int64)
     plan = _estimate_cols(rows0, cols0, coo.nnz)

@@ -55,6 +55,18 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _vmem_params(x_table, step_bytes, out_bytes):
+    """Raise Mosaic's scoped-VMEM cap to fit the resident x table.
+
+    The default ~16 MB scoped limit kills any matrix whose x table exceeds it
+    (r2: rajat31's 4.69 M cols = 18.8 MB -> JaxRuntimeError; the
+    palette_w1024_cbx32k probe reproduces it).  v5e has 128 MB VMEM; leave
+    headroom for Mosaic's own scratch."""
+    need = x_table.nbytes + 3 * step_bytes + out_bytes + (6 << 20)
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(max(need, 32 << 20), 110 << 20)))
+
+
 def _run_totals(v, hm1):
     """W[l] = P[l] − P[hm1[l]]: at a run's end lane this is the run total."""
     r = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
@@ -182,6 +194,9 @@ def slab_spmv(uids, win, lane, sub, val, hm1, idx, x_table, nu: int,
             out_specs=pl.BlockSpec((planes, LANES), lambda t, u, w: (u[t], 0),
                                    memory_space=pltpu.VMEM),
         ),
+        compiler_params=_vmem_params(
+            x_table, T * LANES * (3 + val.dtype.itemsize + planes),
+            nu * planes * LANES * val.dtype.itemsize),
         interpret=_use_interpret(),
     )(uids, win, lane, sub, val, hm1, idx, x_table)
 
@@ -214,5 +229,8 @@ def slab_spmv_blk(uids, win, lane, sub, val, hm1, idx, sig, x_table, nb: int,
             out_specs=pl.BlockSpec((planes, LANES), lambda t, u, w: (u[t], 0),
                                    memory_space=pltpu.VMEM),
         ),
+        compiler_params=_vmem_params(
+            x_table, T * LANES * (4 + 2 * val.dtype.itemsize),
+            nb * planes * LANES * val.dtype.itemsize),
         interpret=_use_interpret(),
     )(uids, win, lane, sub, val, hm1, idx, sig, x_table)
