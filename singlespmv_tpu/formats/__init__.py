@@ -14,7 +14,7 @@ def _ensure_loaded():
         return
     _LOADED = True
     from . import (auto, bcoo, bkt, bsr, coo, csr, csr5, css, dense, dia, ell,
-                   ellg, hyb, jds, slab, ss)
+                   ellg, hostlib, hyb, jds, slab, ss)
     from .base import register_format
 
     register_format("auto", auto)
@@ -34,6 +34,8 @@ def _ensure_loaded():
     register_format("csr5", csr5)
     register_format("dense", dense)
     register_format("bcoo", bcoo)
+    register_format("hostlib", hostlib)
+    register_format("mkl", hostlib)  # reference slot name (opt_mkl)
 
 
 __all__ = [

@@ -72,6 +72,14 @@ def device_put(arr: np.ndarray, dtype=None):
 
 
 def convert(coo: COOMatrix, cfg: Config):
+    if cfg.dtype == "float64":
+        # without x64, jnp.asarray silently truncates f64 operands to f32 —
+        # the f64 paths (csr/ss emulation, hostlib) need real f64 leaves.
+        # The full test suite runs green with x64 on, so this is safe to
+        # flip globally on first f64 use.
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     return get_format(cfg.format).convert(coo, cfg)
 
 

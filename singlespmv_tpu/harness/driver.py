@@ -128,6 +128,12 @@ def run_benchmark(
     if x is None:
         x = create_random_vector(coo.n_col)  # deterministic, seed 3 (main.cpp:18)
     xd = jax.numpy.asarray(np.asarray(x, dtype=cfg.np_dtype))
+    # host-library baselines (hostlib/mkl) pin themselves to the CPU device:
+    # jit follows input placement, so the whole benchmark loop runs host-side
+    # — the reference's mkl_dcsrmv never ran on the accelerator either
+    pref_dev = getattr(formats.get_format(cfg.format), "PREFERRED_DEVICE", None)
+    if pref_dev is not None:
+        xd = jax.device_put(xd, jax.devices(pref_dev)[0])
 
     # --- OptimizeProblem (format conversion), timed (CSR5 reports this too) ---
     # With format=auto, a candidate that converts fine can still OOM/crash at

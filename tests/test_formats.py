@@ -13,7 +13,8 @@ from singlespmv_tpu.formats import available_formats, convert, get_format, spmv_
 
 from conftest import all_test_matrices, rand_x
 
-FORMATS = ["coo", "csr", "ell", "jds", "dia", "ss", "css", "csr5", "dense", "bcoo"]
+FORMATS = ["coo", "csr", "ell", "jds", "dia", "ss", "css", "csr5", "dense",
+           "bcoo", "hostlib"]
 MATRICES = all_test_matrices()
 
 

@@ -8,7 +8,7 @@ from singlespmv_tpu.data.fixtures import fixture_10x10, fixture_5x5
 from singlespmv_tpu.data.generators import generate, powerlaw
 
 ALL_FORMATS = ["coo", "csr", "ell", "jds", "dia", "ss", "css", "csr5", "bsr",
-               "dense", "bcoo"]
+               "dense", "bcoo", "hostlib"]
 
 
 @pytest.mark.parametrize("fmt", ALL_FORMATS)
