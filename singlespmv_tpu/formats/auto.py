@@ -80,7 +80,10 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
         # extraction + combine are XLA gathers over (H, r_max) partial slots —
         # bounded by the stream itself when runs are dense (scattered inputs).
         combine_slots = min(css_stream, 8 * runs)
-        costs["css"] = (css_stream / LANE_GATHER_RATE     # fused mul+scan
+        # f64 runs the df64 (2×f32) kernel: ~4× the per-slot VPU work and two
+        # value planes — still ~2 orders over the emulated-f64 csr fallback
+        dff = 4.0 if cfg.dtype == "float64" else 1.0
+        costs["css"] = (dff * css_stream / LANE_GATHER_RATE  # fused mul+scan
                         + 2 * combine_slots / SCATTER_RATE
                         + css_stream * (vsz + 4) / HBM_BPS)
     # bkt: two-phase scatter-free bucketing (streamed slots + lane gather).

@@ -61,6 +61,48 @@ def _kernel(bids_ref, col_ref, val_ref, heads_ref, x_ref, out_ref):
     out_ref[:] = v
 
 
+def _df_kernel(bids_ref, col_ref, valh_ref, vall_ref, heads_ref,
+               xh_ref, xl_ref, outh_ref, outl_ref):
+    """df64 (2×f32) variant: double-float product + compensated segmented scan.
+
+    Same tile structure as _kernel; values ride as (hi, lo) planes.  Product =
+    Dekker two-product + cross terms; scan steps use the sloppy df-add (lo
+    absorbs hi-sum errors, renormalised once at the end) — see ops/df64.py.
+    """
+    from ...ops import df64 as df
+
+    tile = pl.program_id(0)
+    w = col_ref.shape[1]
+    g = BLOCK_ROWS * w // LANES
+
+    bid = bids_ref[tile]
+    lanes = (col_ref[:] - bid * LANES).reshape(g, LANES)
+    xbh = jnp.broadcast_to(xh_ref[pl.ds(bid, 1), :], (g, LANES))
+    xbl = jnp.broadcast_to(xl_ref[pl.ds(bid, 1), :], (g, LANES))
+    gh = jnp.take_along_axis(xbh, lanes, axis=1)
+    gl = jnp.take_along_axis(xbl, lanes, axis=1)
+    vh, vl = df.df_mul(valh_ref[:].reshape(g, LANES),
+                       vall_ref[:].reshape(g, LANES), gh, gl)
+    vh = vh.reshape(BLOCK_ROWS, w)
+    vl = vl.reshape(BLOCK_ROWS, w)
+
+    f = heads_ref[:]
+    d = 1
+    while d < w:
+        vhz = jnp.concatenate([jnp.zeros_like(vh[:, :d]), vh[:, :-d]], axis=1)
+        vlz = jnp.concatenate([jnp.zeros_like(vl[:, :d]), vl[:, :-d]], axis=1)
+        fz = jnp.concatenate([jnp.ones_like(f[:, :d]), f[:, :-d]], axis=1)
+        sh, sl = df.df_add_sloppy(vh, vl, vhz, vlz)
+        keep = f > 0
+        vh = jnp.where(keep, vh, sh)
+        vl = jnp.where(keep, vl, sl)
+        f = jnp.maximum(f, fz)
+        d *= 2
+    vh, vl = df.df_renorm(vh, vl)
+    outh_ref[:] = vh
+    outl_ref[:] = vl
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -92,3 +134,32 @@ def block_gather_scan(tile_block_ids: jax.Array, col: jax.Array, val: jax.Array,
         ),
         interpret=_use_interpret(),
     )(tile_block_ids, col, val, heads, x_table)
+
+
+@jax.jit
+def block_gather_scan_df(tile_block_ids, col, val_hi, val_lo, heads,
+                         x_hi, x_lo):
+    """df64 scanned products: (hi, lo) f32 planes with ~2⁻⁴⁸ rel precision.
+
+    Arguments mirror block_gather_scan; values and the x table arrive as
+    double-float (hi, lo) f32 pairs (ops.df64.df_from_f64 / df_split_device).
+    Returns (scanned_hi, scanned_lo).
+    """
+    h, w = col.shape
+    grid = (cdiv(h, BLOCK_ROWS),)
+    spec = lambda: pl.BlockSpec((BLOCK_ROWS, w), lambda i, *_: (i, 0),
+                                memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    return pl.pallas_call(
+        _df_kernel,
+        out_shape=(shape, shape),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[spec(), spec(), spec(), spec(),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=(spec(), spec()),
+        ),
+        interpret=_use_interpret(),
+    )(tile_block_ids, col, val_hi, val_lo, heads, x_hi, x_lo)
