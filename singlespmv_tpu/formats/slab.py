@@ -65,7 +65,8 @@ BLK_MXU_S = 0.0003e-9      # blk mode, per plane (MXU one-hot contraction)
 
 
 @pytree_dataclass(meta=("n_row", "n_col", "nnz", "m", "t_step", "planes",
-                        "mode", "n_units", "cb_pad", "n_slots", "hub_off"))
+                        "mode", "n_units", "cb_pad", "n_slots", "hub_off",
+                        "chunk_nu"))
 class SlabState:
     n_row: int
     n_col: int
@@ -78,13 +79,16 @@ class SlabState:
     cb_pad: int            # x-table col-blocks (window-aligned)
     n_slots: int
     hub_off: int           # appendix col offset (0 = no hub relabeling)
-    uids: object           # (n_steps,) int32 — compact unit per step
-    win: object            # (H,) int32 — window base col-block per stream row
-    lane: object           # (H, 128) int8
-    sub: object            # (H, 128) int8
-    val: object            # (H, 128) values
-    hm1: object            # (H, 128) int8
-    idx: object            # (16, H, 128) int8 — σ-plane end-lanes, −1 masked
+    chunk_nu: tuple        # compact units covered per stream chunk (static);
+    #                        stream arrays below are PER-CHUNK tuples so each
+    #                        pallas_call's win prefetch fits the 1 MB SMEM
+    uids: object           # k × (n_steps_c,) int32 — chunk-local unit per step
+    win: object            # k × (H_c,) int32 — window base per stream row
+    lane: object           # k × (H_c, 128) int8
+    sub: object            # k × (H_c, 128) int8
+    val: object            # k × (H_c, 128) values
+    hm1: object            # k × (H_c, 128) int8
+    idx: object            # k × (16, H_c, 128) int8 — σ-plane end-lanes
     unit_ids: object       # (n_units,) int32 — original unit/block ids
     lo_mask: object = None  # (n_units, 1) value-dtype — 0 where the unit's
     #                         own block is never a step's first (tiny units
@@ -297,6 +301,44 @@ def _hub_relabel(cols0, degs, n_col):
 
 X_TABLE_CAP = 96 << 20     # VMEM-resident x table bound (v5e: 128 MB VMEM,
 #                            kernel raises Mosaic's scoped limit to ~110 MB)
+CHUNK_ROWS = 160_000       # stream rows per pallas_call: the kernel scalar-
+#                            prefetches win (one int32 per stream row) into
+#                            SMEM (1 MB), so an unchunked giant dies with
+#                            Mosaic "would exceed memory (space=smem)" —
+#                            r3's ML_Geer wanted a 5.9 MB prefetch.  Streams
+#                            split at unit-start steps into ≤640 KB chunks;
+#                            per-chunk outputs tile the unit space, so
+#                            concatenation reproduces the single-call output
+#                            bit-for-bit.
+
+
+def _chunk_cuts(uids, n_steps: int, t_step: int, n_units: int):
+    """Split the step range into chunks of ≤ CHUNK_ROWS stream rows, cutting
+    only at steps whose first unit differs from the previous step's (those
+    are exactly the cuts where per-chunk outputs stay disjoint).  Returns
+    [(s0, s1, u0, nu_c)] with Σ nu_c == n_units."""
+    max_steps = max(CHUNK_ROWS // t_step, 1)
+    if n_steps <= max_steps:
+        return [(0, n_steps, 0, n_units)]
+    new_unit = np.flatnonzero(
+        np.concatenate([[True], uids[1:] != uids[:-1]]))
+    cuts = [0]
+    while cuts[-1] + max_steps < n_steps:
+        k = np.searchsorted(new_unit, cuts[-1] + max_steps, side="right") - 1
+        s = int(new_unit[k])
+        if s <= cuts[-1]:
+            raise ValueError(
+                "slab: a single unit exceeds the stream-chunk cap "
+                f"({max_steps} steps of {t_step} rows)")
+        cuts.append(s)
+    cuts.append(n_steps)
+    out = []
+    for i in range(len(cuts) - 1):
+        s0, s1 = cuts[i], cuts[i + 1]
+        u0 = int(uids[s0])
+        u_next = int(uids[s1]) if s1 < n_steps else n_units
+        out.append((s0, s1, u0, u_next - u0))
+    return out
 
 
 def estimate(coo: COOMatrix, cfg: Config) -> dict:
@@ -439,17 +481,35 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
     cb_tot = cdiv(max(n_col_eff, 1), LANES)
     cb_pad = cb_tot + m
 
+    # split the stream into SMEM-prefetch-sized chunks (one pallas_call each)
+    cz = _chunk_cuts(uids, n_steps, t_step, n_units)
+    ax = 1 if mode == "unit" else 0     # idx's stream-row axis
+    u_t, w_t, la_t, su_t, va_t, hm_t, ix_t, sg_t = \
+        [], [], [], [], [], [], [], []
+    for s0, s1, u0, _nu in cz:
+        r0, r1 = s0 * t_step, s1 * t_step
+        u_t.append(device_put((uids[s0:s1] - u0).astype(np.int32)))
+        w_t.append(device_put(win_b[r0:r1]))
+        la_t.append(device_put(lane[r0:r1]))
+        su_t.append(device_put(sub[r0:r1]))
+        va_t.append(device_put(val[r0:r1]))
+        hm_t.append(device_put(hm1[r0:r1]))
+        ix_t.append(device_put(idx[:, r0:r1] if ax == 1 else idx[r0:r1]))
+        if sig is not None:
+            sg_t.append(device_put(sig[r0:r1]))
+
     return SlabState(
         n_row=coo.n_row, n_col=coo.n_col, nnz=coo.nnz, m=m, t_step=t_step,
         planes=planes, mode=mode, n_units=n_units, cb_pad=cb_pad,
         n_slots=h * LANES,
         hub_off=hub_off if hub_cols is not None else 0,
-        uids=device_put(uids), win=device_put(win_b),
-        lane=device_put(lane), sub=device_put(sub), val=device_put(val),
-        hm1=device_put(hm1), idx=device_put(idx),
+        chunk_nu=tuple(c[3] for c in cz),
+        uids=tuple(u_t), win=tuple(w_t),
+        lane=tuple(la_t), sub=tuple(su_t), val=tuple(va_t),
+        hm1=tuple(hm_t), idx=tuple(ix_t),
         unit_ids=device_put(unit_ids), lo_mask=device_put(lo_mask),
         hub_cols=device_put(hub_cols) if hub_cols is not None else None,
-        sig=device_put(sig) if sig is not None else None)
+        sig=tuple(sg_t) if sig is not None else None)
 
 
 def _empty_state(coo, cfg):
@@ -457,13 +517,14 @@ def _empty_state(coo, cfg):
     return SlabState(
         n_row=coo.n_row, n_col=coo.n_col, nnz=0, m=1, t_step=32, planes=8,
         mode="unit", n_units=0, cb_pad=1, n_slots=0, hub_off=0,
-        uids=device_put(hm.zeros(0, np.int32)),
-        win=device_put(hm.zeros(0, np.int32)),
-        lane=device_put(hm.zeros((0, LANES), np.int8)),
-        sub=device_put(hm.zeros((0, LANES), np.int8)),
-        val=device_put(hm.zeros((0, LANES), dtype)),
-        hm1=device_put(hm.zeros((0, LANES), np.int8)),
-        idx=device_put(hm.full((8, 0, LANES), -1, np.int8)),
+        chunk_nu=(0,),
+        uids=(device_put(hm.zeros(0, np.int32)),),
+        win=(device_put(hm.zeros(0, np.int32)),),
+        lane=(device_put(hm.zeros((0, LANES), np.int8)),),
+        sub=(device_put(hm.zeros((0, LANES), np.int8)),),
+        val=(device_put(hm.zeros((0, LANES), dtype)),),
+        hm1=(device_put(hm.zeros((0, LANES), np.int8)),),
+        idx=(device_put(hm.full((8, 0, LANES), -1, np.int8)),),
         unit_ids=device_put(hm.zeros(0, np.int32)),
         lo_mask=device_put(hm.zeros((0, 1), dtype)))
 
@@ -492,10 +553,13 @@ def spmv(state: SlabState, x):
     if state.mode == "blk":
         from ..ops.pallas.slab import slab_spmv_blk
 
-        out = slab_spmv_blk(state.uids, state.win, state.lane, state.sub,
-                            state.val, state.hm1, state.idx, state.sig, xp,
-                            state.n_units, state.m, state.planes,
-                            state.t_step)
+        outs = [
+            slab_spmv_blk(u, w, la, su, va, h1, ix, sg, xp,
+                          nu_c, state.m, state.planes, state.t_step)
+            for u, w, la, su, va, h1, ix, sg, nu_c in zip(
+                state.uids, state.win, state.lane, state.sub, state.val,
+                state.hm1, state.idx, state.sig, state.chunk_nu)]
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         outv = out.reshape(state.n_units, state.planes, LANES)
         ok = (state.lo_mask > 0)[:, None, :]
         outv = jnp.where(ok, outv, jnp.zeros((), x.dtype))
@@ -508,9 +572,12 @@ def spmv(state: SlabState, x):
         y2 = jnp.zeros((nb_tot, LANES), x.dtype)
         y2 = y2.at[state.unit_ids].set(yb, mode="drop", unique_indices=True)
         return y2.reshape(-1)[:n]
-    out = slab_spmv(state.uids, state.win, state.lane, state.sub, state.val,
-                    state.hm1, state.idx, xp, state.n_units, state.m,
-                    state.t_step)
+    outs = [
+        slab_spmv(u, w, la, su, va, h1, ix, xp, nu_c, state.m, state.t_step)
+        for u, w, la, su, va, h1, ix, nu_c in zip(
+            state.uids, state.win, state.lane, state.sub, state.val,
+            state.hm1, state.idx, state.chunk_nu)]
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     if state.planes == 8:
         yu = out.reshape(state.n_units, UNIT_ROWS)
     else:
@@ -550,13 +617,18 @@ def traffic_bytes(state: SlabState, cfg: Config) -> int:
 
 
 def to_coo(state: SlabState) -> COOMatrix:
-    lane = np.asarray(state.lane).astype(np.int64)
-    sub = np.asarray(state.sub).astype(np.int64)
-    val = np.asarray(state.val, dtype=np.float64)
-    win = np.asarray(state.win).astype(np.int64)
-    hm1 = np.asarray(state.hm1).astype(np.int64)
-    idx = np.asarray(state.idx).astype(np.int64)
-    uids = np.asarray(state.uids).astype(np.int64)
+    # reassemble the chunked stream (host-side; inverse of _chunk_cuts)
+    cat = lambda t, ax=0: np.concatenate([np.asarray(a) for a in t], axis=ax)
+    lane = cat(state.lane).astype(np.int64)
+    sub = cat(state.sub).astype(np.int64)
+    val = cat(state.val).astype(np.float64)
+    win = cat(state.win).astype(np.int64)
+    hm1 = cat(state.hm1).astype(np.int64)
+    idx = cat(state.idx, ax=1 if state.mode == "unit" else 0).astype(np.int64)
+    u_base = np.cumsum([0] + list(state.chunk_nu[:-1]))
+    uids = np.concatenate(
+        [np.asarray(u).astype(np.int64) + b
+         for u, b in zip(state.uids, u_base)])
     unit_ids = np.asarray(state.unit_ids).astype(np.int64)
     h = lane.shape[0]
     if h == 0:
@@ -572,7 +644,7 @@ def to_coo(state: SlabState) -> COOMatrix:
                                                len(hub) - 1)], cols)
     rows = hm.full((h, LANES), -1, np.int64)
     if state.mode == "blk":
-        sig = np.asarray(state.sig)[:, 0].astype(np.int64)
+        sig = cat(state.sig)[:, 0].astype(np.int64)
         valid = idx >= 0
         sr_i, l_i = np.nonzero(valid)
         end_lane = idx[sr_i, l_i]

@@ -128,3 +128,32 @@ def test_slab_f64_interpret():
     y = np.asarray(spmv_fn(cfg)(st, x))
     ok, det = verify_result(coo, x, y, dtype=np.float64)
     assert ok, det
+
+
+@pytest.mark.parametrize("label,make", MATRICES[:3])
+def test_slab_chunked_stream(label, make, monkeypatch):
+    """Giant-matrix path: streams longer than CHUNK_ROWS split into several
+    pallas_calls whose concatenated outputs must equal the single-call result
+    (the win prefetch otherwise overflows the 1 MB SMEM — r3 ML_Geer)."""
+    from singlespmv_tpu.formats import slab as slab_mod
+
+    coo = make()
+    x = np.random.default_rng(3).uniform(size=coo.n_col).astype(np.float32)
+    fn = jax.jit(spmv_fn(F32))
+    y_single = np.asarray(fn(convert(coo, F32), x))
+    monkeypatch.setattr(slab_mod, "CHUNK_ROWS", 64)
+    st = convert(coo, F32)
+    if len(st.uids) == 1:      # stream fits one chunk even at 64 rows
+        monkeypatch.setattr(slab_mod, "CHUNK_ROWS", st.t_step)
+        st = convert(coo, F32)
+    if len(st.uids) == 1:
+        pytest.skip(f"{label}: stream is a single step — cannot chunk")
+    assert sum(st.chunk_nu) == st.n_units
+    y_chunked = np.asarray(jax.jit(spmv_fn(F32))(st, x))
+    np.testing.assert_array_equal(y_single, y_chunked)
+    ok, det = verify_result(coo, x, y_chunked, dtype=np.float32)
+    assert ok, f"{label}: {det}"
+    # round trip must also survive chunking
+    back = to_coo(st, F32)
+    np.testing.assert_allclose(back.to_dense(),
+                               coo.to_dense().astype(np.float32), rtol=1e-6)
