@@ -45,3 +45,15 @@ def astype(x: np.ndarray, dtype) -> np.ndarray:
     out = np.zeros(x.shape, dtype)
     np.copyto(out, x, casting="unsafe")
     return out
+
+
+def argsort_keys(keys: np.ndarray) -> np.ndarray:
+    """Stable argsort of non-negative integer keys: native parallel radix
+    when available (core/native/sort_native.cpp), numpy otherwise."""
+    if len(keys) >= (1 << 16):
+        from . import native
+
+        out = native.radix_argsort(keys)
+        if out is not None:
+            return out
+    return np.argsort(keys, kind="stable")

@@ -57,8 +57,13 @@ class COOMatrix:
         col = np.asarray(col, dtype=idx_t)
         val = np.asarray(val, dtype=np.float64)
         if sort:
-            # Row-major order, like Element::operator< (util.h:28-37).
-            order = np.lexsort((col, row))
+            # Row-major order, like Element::operator< (util.h:28-37);
+            # native parallel radix for large streams (hostmem.argsort_keys).
+            from . import hostmem as hm
+
+            order = hm.argsort_keys(
+                row.astype(np.int64) * np.int64(max(n_col, 1))
+                + col.astype(np.int64))
             row, col, val = row[order], col[order], val[order]
         if sum_duplicates and row.size:
             key = row.astype(np.int64) * n_col + col.astype(np.int64)

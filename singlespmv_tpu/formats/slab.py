@@ -147,7 +147,7 @@ def _walk(cols_s, unit_starts, m):
         z = np.zeros(0, np.int64)
         return z, z, np.zeros(n_units, np.int64)
     units_cat = np.concatenate(units_l)
-    order = np.argsort(units_cat, kind="stable")   # iteration-major → unit-major
+    order = hm.argsort_keys(units_cat)             # iteration-major → unit-major
     sizes = np.concatenate(sizes_l)[order]
     bases = np.concatenate(bases_l)[order]
     urows = np.bincount(units_cat, minlength=n_units).astype(np.int64)
@@ -233,8 +233,10 @@ def _estimate_cols(rows0, cols0, nnz, extra_s=0.0) -> dict:
     t_cands = T_CANDS
     for mode, shift in (("unit", 10), ("blk", 7)):
         scope0 = rows0 >> shift
-        # single-key stable argsort (radix) — ~2-3× a 2-key lexsort at 100 M
-        o0 = np.argsort((scope0 << 33) + cols0, kind="stable")
+        # single-key stable sort (native parallel radix when available);
+        # tight multiplier instead of << 33 so the radix touches fewer bytes
+        cmult = int(cols0.max()) + 1 if nnz else 1
+        o0 = hm.argsort_keys(scope0 * cmult + cols0)
         cols_s = cols0[o0]
         scope_s = scope0[o0]
         sb = np.flatnonzero(np.concatenate([[True],
@@ -406,7 +408,7 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
     # (stream row, y row) so each y row is one contiguous run; stable sort
     # keeps the walk's col order inside each run
     sr0 = final_row[np.repeat(hm.arange(len(sizes)), sizes)]
-    o2 = np.argsort((sr0 << 31) + rows, kind="stable")
+    o2 = hm.argsort_keys(sr0 * np.int64(coo.n_row) + rows)
     rows, cols, vals, sr = rows[o2], cols[o2], vals[o2], sr0[o2]
     new_row_b = np.concatenate([[True], sr[1:] != sr[:-1]])
     starts = np.flatnonzero(new_row_b)
