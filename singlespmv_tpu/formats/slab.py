@@ -52,16 +52,23 @@ BLK_PLANES = (8, 16, 32)   # blk mode: 128-row blocks per output block
 PAD_LIMIT = 16.0           # slots / nnz refusal bound — generous: even a
 #                            pad-12 slab runs ~10× the csr gather fallback;
 #                            auto's cost model arbitrates, this only guards
-SLOT_MEM_CAP = 6 << 30     # bytes of slot arrays a state may allocate
+SLOT_MEM_CAP = 10 << 30    # bytes of slot arrays a state may allocate —
+#                            v5e has 16 GB HBM; r3's circuit5M (59.5 M nnz,
+#                            pad ~6) needs an 8.2 GB unit-mode state and fell
+#                            to the 0.11 GFLOPS csr fallback under the old
+#                            6 GB cap
 # measured per-grid-step cost model, TPU v5e — fitted on the σ-plane kernel
-# across the 8-plane and 16-plane bench runs (scripts/bench_slab.py):
+# across the 8-plane and 16-plane bench runs (scripts/bench_slab.py), route
+# constants re-fitted r3 on the stomach blk-k grid (results in git log):
 # step ≈ FIXED + slots·(BASE + route + SEL·m), route per mode below.
 STEP_FIXED_S = 0.35e-6
 BASE_SLOT_S = 0.015e-9
 ROUTE_SLOT_S = 0.004e-9    # unit mode, per σ-plane (gather + mask + reduce)
-SEL_SLOT_S = 0.0035e-9     # per window member (one-hot select)
-BLK_ROUTE_S = 0.008e-9     # blk mode: one gather + one-hot build
-BLK_MXU_S = 0.0003e-9      # blk mode, per plane (MXU one-hot contraction)
+SEL_SLOT_S = 0.002e-9      # per window member (one-hot select; r3 measured
+#                            0.0017/m on the stomach m=4→8 delta)
+BLK_ROUTE_S = 0.013e-9     # blk mode, per kblk plane: pick + one-hot build +
+#                            MXU matmul (r3 measured 0.013/pick, k2→k4 delta)
+BLK_MXU_S = 0.0003e-9      # blk mode, per span plane (MXU one-hot width)
 
 
 @pytree_dataclass(meta=("n_row", "n_col", "nnz", "m", "t_step", "planes",
@@ -209,13 +216,13 @@ def _pad_blocks(urows, t, planes):
     return urows + pads
 
 
-def _mode_cost(mode, planes, m, h, slots, t, extra_s):
+def _mode_cost(mode, planes, m, h, slots, t, extra_s, kblk=1):
     if mode == "unit":
         route = planes * ROUTE_SLOT_S
         bps = 7 + planes
     else:
-        route = BLK_ROUTE_S + planes * BLK_MXU_S
-        bps = 9
+        route = kblk * (BLK_ROUTE_S + planes * BLK_MXU_S)
+        bps = 8 + kblk
     dma = slots * bps / 700e9          # HBM stream floor
     compute = slots * (BASE_SLOT_S + route + m * SEL_SLOT_S)
     return extra_s + (h // t) * STEP_FIXED_S + max(dma, compute)
@@ -231,7 +238,10 @@ def _estimate_cols(rows0, cols0, nnz, extra_s=0.0) -> dict:
     # past 60 M nnz trim the grid to the empirically-winning ms
     m_cands = M_CANDS if nnz <= 60_000_000 else (2, 4, 8, 16)
     t_cands = T_CANDS
-    for mode, shift in (("unit", 10), ("blk", 7)):
+    # blk kblk>1: stream rows span kblk aligned 128-row blocks (scope
+    # 256/512 rows) — the mid-locality/scattered fill unlock (r3)
+    for mode, shift, kblk in (("unit", 10, 1), ("blk", 7, 1),
+                              ("blk", 8, 2), ("blk", 9, 4)):
         scope0 = rows0 >> shift
         # single-key stable sort (native parallel radix when available);
         # tight multiplier instead of << 33 so the radix touches fewer bytes
@@ -256,26 +266,29 @@ def _estimate_cols(rows0, cols0, nnz, extra_s=0.0) -> dict:
                 else [("blk", p) for p in BLK_PLANES]
             for t in t_cands:
                 for _, planes in cands:
+                    if mode == "blk" and planes % kblk:
+                        continue
                     if mode == "unit":
                         h = int(_pad_units(urows, t, planes // 8).sum())
                     else:
-                        h = int(_pad_blocks(urows, t, planes).sum())
+                        h = int(_pad_blocks(urows, t, planes // kblk).sum())
                     slots = h * LANES
-                    bps = (7 + planes) if mode == "unit" else 9
+                    bps = (7 + planes) if mode == "unit" else 8 + kblk
                     if slots > PAD_LIMIT * nnz + (1 << 16) or \
                             slots * bps > SLOT_MEM_CAP:
                         continue
-                    sec = _mode_cost(mode, planes, m, h, slots, t, extra_s)
+                    sec = _mode_cost(mode, planes, m, h, slots, t, extra_s,
+                                     kblk)
                     if best is None or sec < best["est_s"]:
                         best = {"feasible": True, "est_s": sec,
                                 "slots": slots, "m": m, "t": t,
                                 "planes": planes, "mode": mode, "order": o0,
                                 "sizes": sizes, "bases": bases,
-                                "urows": urows,
+                                "urows": urows, "kblk": kblk,
                                 "unit_ids": scope_s[sb].astype(np.int32)}
     if best is None:
         return {"feasible": False, "est_s": float("inf"), "slots": 0,
-                "m": 1, "t": 32, "planes": 8, "mode": "unit"}
+                "m": 1, "t": 32, "planes": 8, "mode": "unit", "kblk": 1}
     return best
 
 
@@ -380,6 +393,7 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
                          f"(slots={plan['slots']}, nnz={coo.nnz})")
     m, t_step = plan["m"], plan["t"]
     mode, planes = plan["mode"], plan["planes"]
+    kblk = plan.get("kblk", 1)
     dtype = cfg.np_dtype
 
     o = plan["order"]
@@ -397,7 +411,7 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
     # pad scopes for the block span; map walk rows → final rows
     n_units = len(urows)
     rows_pad = _pad_units(urows, t_step, planes // 8) if mode == "unit" \
-        else _pad_blocks(urows, t_step, planes)
+        else _pad_blocks(urows, t_step, planes // kblk)
     h = int(rows_pad.sum())
     ustart = np.concatenate([[0], np.cumsum(rows_pad)[:-1]])
     wstart = np.concatenate([[0], np.cumsum(urows)[:-1]])
@@ -462,17 +476,28 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
         idx = hm.full((planes, h, LANES), -1, np.int8)
         idx[sigma, sr_run, l_run] = e_lane.astype(np.int8)
     else:
-        # one plane: rows in a stream row share the 128-row block, so target
-        # lanes are distinct; σ per STREAM ROW routes through the MXU one-hot
-        assert off.min(initial=0) >= 0 and off.max(initial=0) < planes, \
-            "slab: a grid step spans more blocks than the output covers"
-        idx = hm.full((h, LANES), -1, np.int8)
-        idx[sr_run, l_run] = e_lane.astype(np.int8)
+        # plane j of idx holds runs destined to the group's j-th 128-row
+        # block (rows inside one block are lane-distinct); σ per STREAM ROW
+        # = group offset · kblk, routed through kblk MXU one-hot matmuls
+        assert off.min(initial=0) >= 0 and \
+            off.max(initial=0) < planes // kblk, \
+            "slab: a grid step spans more block-groups than the output covers"
+        j_run = (r_run >> 7) & np.int64(kblk - 1) if kblk > 1 \
+            else np.zeros(len(r_run), np.int64)
+        idx = hm.full((kblk, h, LANES), -1, np.int8)
+        idx[j_run, sr_run, l_run] = e_lane.astype(np.int8)
         sig_row = hm.zeros(h, np.int8)
         sig_row[final_row] = (
-            ur - uids[(final_row // t_step).astype(np.int64)]
+            (ur - uids[(final_row // t_step).astype(np.int64)]) * kblk
         ).astype(np.int8)
         sig = np.broadcast_to(sig_row[:, None], (h, LANES)).copy()
+
+    if mode == "blk" and kblk > 1:
+        # out slabs / y scatter are per 128-row BLOCK-SLOT (kblk per group)
+        uids = (uids.astype(np.int64) * kblk).astype(np.int32)
+        unit_ids = (unit_ids.astype(np.int64)[:, None] * kblk
+                    + np.arange(kblk)).ravel().astype(np.int32)
+        n_units = n_units * kblk
 
     # units never first in any step get their (unwritten) lo block masked
     written = hm.zeros(n_units, np.bool_)
@@ -485,7 +510,6 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
 
     # split the stream into SMEM-prefetch-sized chunks (one pallas_call each)
     cz = _chunk_cuts(uids, n_steps, t_step, n_units)
-    ax = 1 if mode == "unit" else 0     # idx's stream-row axis
     u_t, w_t, la_t, su_t, va_t, hm_t, ix_t, sg_t = \
         [], [], [], [], [], [], [], []
     for s0, s1, u0, _nu in cz:
@@ -496,7 +520,7 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
         su_t.append(device_put(sub[r0:r1]))
         va_t.append(device_put(val[r0:r1]))
         hm_t.append(device_put(hm1[r0:r1]))
-        ix_t.append(device_put(idx[:, r0:r1] if ax == 1 else idx[r0:r1]))
+        ix_t.append(device_put(idx[:, r0:r1]))
         if sig is not None:
             sg_t.append(device_put(sig[r0:r1]))
 
@@ -613,7 +637,10 @@ def report_fields(state: SlabState, cfg: Config) -> dict:
 
 def traffic_bytes(state: SlabState, cfg: Config) -> int:
     vsz = np.dtype(cfg.dtype).itemsize
-    per_slot = vsz + 3 + state.planes
+    if state.mode == "blk":
+        per_slot = vsz + 4 + state.idx[0].shape[0]   # lane/sub/hm1/sig + kblk
+    else:
+        per_slot = vsz + 3 + state.planes
     return (state.n_slots * per_slot + state.n_row * vsz
             + state.cb_pad * LANES * vsz)
 
@@ -626,7 +653,7 @@ def to_coo(state: SlabState) -> COOMatrix:
     val = cat(state.val).astype(np.float64)
     win = cat(state.win).astype(np.int64)
     hm1 = cat(state.hm1).astype(np.int64)
-    idx = cat(state.idx, ax=1 if state.mode == "unit" else 0).astype(np.int64)
+    idx = cat(state.idx, ax=1).astype(np.int64)  # stream axis 1 (both modes)
     u_base = np.cumsum([0] + list(state.chunk_nu[:-1]))
     uids = np.concatenate(
         [np.asarray(u).astype(np.int64) + b
@@ -647,11 +674,12 @@ def to_coo(state: SlabState) -> COOMatrix:
     rows = hm.full((h, LANES), -1, np.int64)
     if state.mode == "blk":
         sig = cat(state.sig)[:, 0].astype(np.int64)
-        valid = idx >= 0
-        sr_i, l_i = np.nonzero(valid)
-        end_lane = idx[sr_i, l_i]
-        blk = unit_ids[first_cu[sr_i] + sig[sr_i]]
-        rows[sr_i, end_lane] = blk * LANES + l_i
+        for j in range(idx.shape[0]):       # idx: (kblk, H, 128)
+            valid = idx[j] >= 0
+            sr_i, l_i = np.nonzero(valid)
+            end_lane = idx[j][sr_i, l_i]
+            blk = unit_ids[first_cu[sr_i] + sig[sr_i] + j]
+            rows[sr_i, end_lane] = blk * LANES + l_i
     else:
         for sigma in range(idx.shape[0]):
             e = idx[sigma]

@@ -125,11 +125,20 @@ def _slab_kernel(uids_ref, win_ref, lane_ref, sub_ref, val_ref, hm1_ref,
 
 def _slab_blk_kernel(uids_ref, win_ref, lane_ref, sub_ref, val_ref, hm1_ref,
                      idx_ref, sig_ref, x_ref, out_ref, *, m: int,
-                     planes: int):
-    """Block-granular route: every stream row targets ONE 128-row block, so a
-    single end-lane plane suffices (rows inside a block are lane-distinct)
-    and the per-row block offset σ routes through one MXU one-hot matmul
-    (planes, T) @ (T, 128) instead of `planes` VPU masked reductions."""
+                     planes: int, kblk: int):
+    """Block-granular route: every stream row targets one aligned GROUP of
+    ``kblk`` consecutive 128-row blocks.  Plane j of idx holds the end-lanes
+    of runs destined to the group's j-th block (rows inside a block are
+    lane-distinct, so one plane per block suffices), and the per-row group
+    offset σ·kblk routes each j through an MXU one-hot matmul
+    (planes, T) @ (T, 128) instead of `planes` VPU masked reductions.
+
+    kblk > 1 is the scattered/mid-locality unlock (r3): with kblk = 1 a
+    stream row draws from a single (128-row × window) rectangle, whose fill
+    collapses on anything but dense bands (stomach: pad 2.03 vs 1.27 for
+    unit mode).  Widening the row scope to kblk·128 rows multiplies the
+    rectangle's nnz by kblk at a route cost of only kblk picks + kblk tiny
+    matmuls per step."""
     t = pl.program_id(0)
     T = lane_ref.shape[0]
 
@@ -143,18 +152,19 @@ def _slab_blk_kernel(uids_ref, win_ref, lane_ref, sub_ref, val_ref, hm1_ref,
     w = _run_totals(_gather_mul(win_ref, lane_ref, sub_ref, val_ref, x_ref,
                                 t, m=m), hm1_ref[:])
 
-    e = idx_ref[:].astype(jnp.int32)                            # (T, 128)
-    valid = e >= 0
-    picked = jnp.take_along_axis(w, jnp.where(valid, e, 0), axis=1)
-    masked = jnp.where(valid, picked, 0.0)
     sig = sig_ref[:, :planes].astype(jnp.int32)                 # (T, planes)
-    oh = (sig == jax.lax.broadcasted_iota(jnp.int32, (T, planes), 1)
-          ).astype(w.dtype)
+    iot = jax.lax.broadcasted_iota(jnp.int32, (T, planes), 1)
     acc = jnp.float32 if w.dtype in (jnp.bfloat16, jnp.float16,
                                      jnp.float32) else w.dtype
-    out_ref[:] += jnp.dot(oh.T, masked, preferred_element_type=acc,
-                          precision=jax.lax.Precision.HIGHEST
-                          ).astype(w.dtype)
+    for j in range(kblk):
+        e = idx_ref[j].astype(jnp.int32)                        # (T, 128)
+        valid = e >= 0
+        picked = jnp.take_along_axis(w, jnp.where(valid, e, 0), axis=1)
+        masked = jnp.where(valid, picked, 0.0)
+        oh = (sig + j == iot).astype(w.dtype)
+        out_ref[:] += jnp.dot(oh.T, masked, preferred_element_type=acc,
+                              precision=jax.lax.Precision.HIGHEST
+                              ).astype(w.dtype)
 
 
 def slab_spmv(uids, win, lane, sub, val, hm1, idx, x_table, nu: int,
@@ -205,32 +215,37 @@ def slab_spmv_blk(uids, win, lane, sub, val, hm1, idx, sig, x_table, nb: int,
                   m: int, planes: int, T: int = 128):
     """Block-granular variant (see _slab_blk_kernel).
 
-    uids: (n_steps,) int32 — compact first 128-row block per step.
-    idx:  (H, 128) int8 — single end-lane plane, −1 masked.
-    sig:  (H, 128) int8 — per stream row its block offset from the step's
-          first block, lane-replicated.
-    Returns (nb·planes, 128): out block f row j accumulates contributions to
-    compact block f+j (host shift-adds the diagonals).
+    uids: (n_steps,) int32 — compact first block-slot per step (multiples of
+          kblk: one slot per 128-row block of each compact kblk-block group).
+    idx:  (kblk, H, 128) int8 — per group-block end-lane planes, −1 masked.
+    sig:  (H, 128) int8 — per stream row its group's block-slot offset from
+          the step's first block-slot (multiple of kblk), lane-replicated.
+    Returns (nb·planes, 128): out slab f plane p accumulates contributions to
+    compact block-slot f+p (host shift-adds the diagonals).
     """
     h = lane.shape[0]
     n_steps = h // T
+    kblk = idx.shape[0]
     spec8 = lambda: pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
                                  memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_slab_blk_kernel, m=m, planes=planes),
+        functools.partial(_slab_blk_kernel, m=m, planes=planes, kblk=kblk),
         out_shape=jax.ShapeDtypeStruct((nb * planes, LANES), val.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_steps,),
             in_specs=[
-                spec8(), spec8(), spec8(), spec8(), spec8(), spec8(),
+                spec8(), spec8(), spec8(), spec8(),
+                pl.BlockSpec((kblk, T, LANES), lambda t, *_: (0, t, 0),
+                             memory_space=pltpu.VMEM),
+                spec8(),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((planes, LANES), lambda t, u, w: (u[t], 0),
                                    memory_space=pltpu.VMEM),
         ),
         compiler_params=_vmem_params(
-            x_table, T * LANES * (4 + 2 * val.dtype.itemsize),
+            x_table, T * LANES * (3 + kblk + 1 + 2 * val.dtype.itemsize),
             nb * planes * LANES * val.dtype.itemsize),
         interpret=_use_interpret(),
     )(uids, win, lane, sub, val, hm1, idx, sig, x_table)

@@ -157,3 +157,37 @@ def test_slab_chunked_stream(label, make, monkeypatch):
     back = to_coo(st, F32)
     np.testing.assert_allclose(back.to_dense(),
                                coo.to_dense().astype(np.float32), rtol=1e-6)
+
+
+@pytest.mark.parametrize("kblk", [2, 4])
+@pytest.mark.parametrize("label,make", MATRICES[:3])
+def test_slab_blk_k_modes(label, make, kblk):
+    """blk-k: stream rows spanning k aligned 128-row blocks (the r3 fill
+    unlock) must agree with the oracle for every plan the walker can emit."""
+    from singlespmv_tpu.formats import slab as slab_mod
+
+    coo = make()
+    rows0 = coo.row.astype(np.int64)
+    cols0 = coo.col.astype(np.int64)
+    shift = 7 + kblk.bit_length() - 1
+    scope0 = rows0 >> shift
+    cmult = int(cols0.max()) + 1
+    from singlespmv_tpu.core import hostmem as hm
+    o0 = hm.argsort_keys(scope0 * cmult + cols0)
+    cols_s, scope_s = cols0[o0], scope0[o0]
+    sb = np.flatnonzero(np.concatenate([[True], scope_s[1:] != scope_s[:-1]]))
+    sizes, bases, urows = slab_mod._walk(cols_s, np.append(sb, len(cols_s)), 4)
+    plan = {"feasible": True, "est_s": 0.0, "m": 4, "t": 32, "planes": 8,
+            "mode": "blk", "kblk": kblk, "order": o0, "sizes": sizes,
+            "bases": bases, "urows": urows,
+            "unit_ids": scope_s[sb].astype(np.int32),
+            "slots": int(sum(sizes)) * 128,
+            "hub_cols": None, "cols_eff": None, "hub_off": 0}
+    st = slab_mod.convert(coo, F32, plan=plan)
+    x = np.random.default_rng(3).uniform(size=coo.n_col).astype(np.float32)
+    y = np.asarray(jax.jit(spmv_fn(F32))(st, x))
+    ok, det = verify_result(coo, x, y, dtype=np.float32)
+    assert ok, f"{label} kblk={kblk}: {det}"
+    back = to_coo(st, F32)
+    np.testing.assert_allclose(back.to_dense(),
+                               coo.to_dense().astype(np.float32), rtol=1e-6)
