@@ -20,7 +20,7 @@ from .base import device_put, pytree_dataclass
 
 
 @pytree_dataclass(meta=("n_row", "n_col", "nnz", "bm", "bn", "n_blocks",
-                        "n_brow", "fill"))
+                        "n_brow", "fill", "ell_k"))
 class BSRState:
     n_row: int
     n_col: int
@@ -33,6 +33,9 @@ class BSRState:
     blocks: object       # (n_blocks, bm, bn) dense values
     brow: object         # (n_blocks,) block-row id, sorted
     bcol: object         # (n_blocks,) block-col id
+    ell_k: int = 0       # block-ELL SpMM panel width (0 = layout not built)
+    ell_blocks: object = None   # (n_brow, bm, K·bn) row-concat blocks
+    ell_bcol: object = None     # (n_brow, K) int32 block cols (pad → CB)
 
 
 def convert(coo: COOMatrix, cfg: Config) -> BSRState:
@@ -62,10 +65,35 @@ def convert(coo: COOMatrix, cfg: Config) -> BSRState:
         brow = np.zeros(1, dtype=cfg.index_dtype)
         bcol = np.zeros(1, dtype=cfg.index_dtype)
     fill = coo.nnz / float(n_blocks * bm * bn)
+
+    # Block-ELL SpMM layout (SURVEY §7.6 "x → (nCol, B) panel — MXU path"):
+    # per block-row, its K blocks concatenate along the contraction dim so
+    # Y = batched (bm, K·bn) @ (K·bn, B) — one MXU dot_general, no segment
+    # sum, and the X gather is block-row-granular.  Built only when padding
+    # to the max blocks/row stays bounded (FEM/band classes: K ≈ 2-4).
+    ell_k, ell_blocks, ell_bcol = 0, None, None
+    if coo.nnz:
+        counts = np.bincount(brow.astype(np.int64), minlength=n_brow)
+        k_max = int(counts.max())
+        cb = cdiv(max(coo.n_col, 1), bn)
+        if 0 < k_max * n_brow <= 3 * n_blocks and \
+                k_max * n_brow * bm * bn * blocks.itemsize <= (2 << 30):
+            ell_bcol = np.full((n_brow, k_max), cb, dtype=np.int32)
+            eb = np.zeros((n_brow, k_max, bm, bn), dtype=blocks.dtype)
+            pos = np.arange(n_blocks) - np.concatenate(
+                [[0], np.cumsum(counts)[:-1]])[brow.astype(np.int64)]
+            ell_bcol[brow.astype(np.int64), pos] = bcol.astype(np.int32)
+            eb[brow.astype(np.int64), pos] = blocks
+            ell_blocks = np.ascontiguousarray(
+                eb.transpose(0, 2, 1, 3).reshape(n_brow, bm, k_max * bn))
+            ell_k = k_max
     return BSRState(
         n_row=coo.n_row, n_col=coo.n_col, nnz=coo.nnz, bm=bm, bn=bn,
         n_blocks=n_blocks, n_brow=n_brow, fill=fill,
         blocks=device_put(blocks), brow=device_put(brow), bcol=device_put(bcol),
+        ell_k=ell_k,
+        ell_blocks=device_put(ell_blocks) if ell_k else None,
+        ell_bcol=device_put(ell_bcol) if ell_k else None,
     )
 
 
@@ -97,6 +125,22 @@ def spmm(state: BSRState, X):
     import jax.numpy as jnp
 
     b = X.shape[1]
+    if state.ell_k:
+        # block-ELL fast path: one batched MXU matmul, scatter-free
+        cb = cdiv(state.n_col, state.bn)
+        Xp = jnp.zeros((cb * state.bn, b), X.dtype).at[: state.n_col].set(X)
+        Xp = jnp.concatenate(       # block row cb = all-zero pad target
+            [Xp.reshape(cb, state.bn, b),
+             jnp.zeros((1, state.bn, b), X.dtype)], axis=0)
+        Xg = Xp[state.ell_bcol.reshape(-1)].reshape(
+            state.n_brow, state.ell_k * state.bn, b)
+        Y = jax.lax.dot_general(
+            state.ell_blocks, Xg,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=state.ell_blocks.dtype,
+            precision=jax.lax.Precision.HIGH,
+        )                                                   # (n_brow, bm, b)
+        return Y.reshape(-1, b)[: state.n_row]
     chunk = max(8, min(b, MAX_GATHERED_ELEMS // max(state.n_blocks * state.bn, 1)))
 
     def one_chunk(Xc):
@@ -108,6 +152,7 @@ def spmm(state: BSRState, X):
             state.blocks, Xb,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=state.blocks.dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )                                                   # (n_blocks, bm, Bc)
         Yb = jax.ops.segment_sum(part, state.brow, num_segments=state.n_brow,
                                  indices_are_sorted=True)
