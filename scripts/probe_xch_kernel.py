@@ -1,0 +1,103 @@
+"""Microbench the xch kernels in isolation on synthetic streams.
+
+Sweeps the window size m and step T for each kernel on a fixed slot count,
+printing ns/slot — the real cost surface the planner constants must match.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def log(m):
+    print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from singlespmv_tpu.ops.pallas.xch import xch_mul, xch_route
+
+    H = 64 * 1024               # stream rows -> 8.4 M slots
+    CB = 8192                   # x table 4 MB
+    rng = np.random.default_rng(0)
+
+    def sync(x):
+        return float(jax.device_get(x.reshape(-1)[0]))
+
+    def bench(fn, n_slots, loop=24):
+        fn_j = jax.jit(fn)
+        sync(fn_j())            # compile
+        t0 = time.time()
+        for _ in range(loop):
+            sync(fn_j())
+        dt = (time.time() - t0) / loop
+        return dt / n_slots * 1e9   # ns/slot (includes one dispatch ~20-40us
+        #                             -- subtract via the loop=2x trick below)
+
+    def bench2(fn, n_slots, loop=24):
+        """dispatch-corrected: time(loop) - time(loop/2)."""
+        fn_j = jax.jit(fn)
+        sync(fn_j())
+        t0 = time.time()
+        for _ in range(loop // 2):
+            sync(fn_j())
+        t1 = time.time()
+        for _ in range(loop):
+            sync(fn_j())
+        t2 = time.time()
+        d = (t2 - t1) - (t1 - t0)
+        per = d / (loop - loop // 2)
+        return per / n_slots * 1e9
+
+    log("=== xch_mul: ns/slot vs (m, T) ===")
+    for T in (32, 64, 128):
+        for m in (1, 2, 4, 8, 16, 32, 64):
+            win = rng.integers(0, CB - m, H).astype(np.int32)
+            lane = rng.integers(0, 128, (H, 128)).astype(np.int8)
+            sub = rng.integers(0, m, (H, 128)).astype(np.int8)
+            val = rng.uniform(-1, 1, (H, 128)).astype(np.float32)
+            xt = rng.uniform(-1, 1, (CB, 128)).astype(np.float32)
+            args = [jnp.asarray(a) for a in (win, lane, sub, val, xt)]
+            ns = bench2(lambda a=args: xch_mul(a[0], a[1], a[2], a[3], a[4],
+                                               m, T), H * 128)
+            log(f"mul  T={T:3d} m={m:3d}: {ns:.4f} ns/slot")
+
+    log("=== xch_route: ns/slot vs (m, planes, T) ===")
+    NC, P1 = 8, 4096
+    for T in (32, 64, 128):
+        for planes in (8, 16):
+            for m in (1, 2, 4, 8, 16, 32, 64):
+                n_steps = H // T
+                nb = max(n_steps // 8, 1)       # 8 steps per bucket
+                uids = np.repeat(np.arange(nb), 8)[:n_steps].astype(np.int32)
+                uids = np.sort(uids)
+                cs = rng.integers(0, NC, nb)[uids].astype(np.int32)
+                win = rng.integers(0, P1 - m, H).astype(np.int32)
+                lane = rng.integers(0, 128, (H, 128)).astype(np.int8)
+                sub = rng.integers(0, m, (H, 128)).astype(np.int8)
+                # worst case: every slot its own run end (hyper-sparse)
+                hm1 = np.broadcast_to(
+                    np.arange(-1, 127, dtype=np.int8), (H, 128)).copy()
+                sig = (np.arange(128)[None, :] + np.arange(H)[:, None]) \
+                    % planes
+                idx = np.full((planes, H, 128), -1, np.int8)
+                hh = np.repeat(np.arange(H), 128)
+                ll = np.tile(np.arange(128), H)
+                idx[sig.reshape(-1), hh, ll] = ll.astype(np.int8)
+                prod = rng.uniform(-1, 1, (NC, P1, 128)).astype(np.float32)
+                args = [jnp.asarray(a) for a in
+                        (uids, cs, win, lane, sub, hm1, idx, prod)]
+                ns = bench2(lambda a=args, nb=nb: xch_route(
+                    a[0], a[1], a[2], a[3], a[4], a[5], a[6], a[7],
+                    nb, m, planes, T), H * 128)
+                log(f"route T={T:3d} planes={planes:2d} m={m:3d}: "
+                    f"{ns:.4f} ns/slot")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,11 +14,12 @@ def _ensure_loaded():
         return
     _LOADED = True
     from . import (auto, bcoo, bkt, bsr, coo, csr, csr5, css, dense, dia, ell,
-                   ellg, hostlib, hyb, jds, slab, ss)
+                   ellg, hostlib, hyb, jds, slab, ss, xch)
     from .base import register_format
 
     register_format("auto", auto)
     register_format("slab", slab)
+    register_format("xch", xch)
     register_format("hyb", hyb)
     register_format("ellg", ellg)
     register_format("bkt", bkt)

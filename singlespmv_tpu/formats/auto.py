@@ -67,7 +67,7 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
     n, m, nnz = coo.n_row, coo.n_col, max(coo.nnz, 1)
     costs = {}
     dia_elems = n_diag * max(n, 1)
-    if dia_elems * vsz <= (1 << 30):
+    if dia_elems * vsz <= (4 << 30):      # matches dia.MAX_DIA_ELEMENTS
         costs["dia"] = 2 * dia_elems * vsz / HBM_BPS
     dense_elems = n * m
     if dense_elems * vsz <= (1 << 30):
@@ -137,6 +137,17 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
             costs["slab"] = est_sl["est_s"]
             if plans is not None:
                 plans["slab"] = est_sl
+    # xch: the hyper-sparse giant engine (r4) — two fill-perfect passes with
+    # one order exchange; wins exactly where slab's (unit × window) fill
+    # collapses (circuit5M/rajat31/webbase class).
+    from . import xch as xch_mod
+
+    if coo.nnz and pallas_pkg.supports(cfg.np_dtype):
+        est_x = xch_mod.estimate(coo, cfg)
+        if est_x["feasible"]:
+            costs["xch"] = est_x["est_s"]
+            if plans is not None:
+                plans["xch"] = est_x
     # csr / ss: XLA gather-bound fallbacks — they are dominated on f32 (the
     # 0.14 G elem/s XLA gather), but they are the only paths that run every
     # dtype (f64 included) on every structure, so auto always has a candidate.
@@ -193,10 +204,12 @@ from . import ellg as ellg_mod  # noqa: E402
 
 from . import slab as slab_mod  # noqa: E402
 
+from . import xch as xch_mod  # noqa: E402
+
 _MODULES = {"dia": dia_mod, "dense": dense_mod, "bsr": bsr_mod,
             "css": css_mod, "bkt": bkt_mod, "bkt_g": bkt_mod,
             "hyb": hyb_mod, "csr": csr_mod, "ss": ss_mod,
-            "ellg": ellg_mod, "slab": slab_mod}
+            "ellg": ellg_mod, "slab": slab_mod, "xch": xch_mod}
 
 
 class AutoState:

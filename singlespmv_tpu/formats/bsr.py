@@ -138,7 +138,7 @@ def spmm(state: BSRState, X):
             state.ell_blocks, Xg,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=state.ell_blocks.dtype,
-            precision=jax.lax.Precision.HIGH,
+            precision=jax.lax.Precision.HIGHEST,
         )                                                   # (n_brow, bm, b)
         return Y.reshape(-1, b)[: state.n_row]
     chunk = max(8, min(b, MAX_GATHERED_ELEMS // max(state.n_blocks * state.bn, 1)))

@@ -92,8 +92,9 @@ def save_state(path: str, state: Any, coo=None, cfg: Config = None) -> None:
     meta = {"tree": tree}
     if coo is not None and cfg is not None:
         meta["fingerprint"] = fingerprint(coo, cfg)
-    np.savez_compressed(path if path.endswith(".npz") else path + ".npz",
-                        **arrays)
+    # uncompressed: value planes are incompressible floats and giant states
+    # run to GBs — zlib would add minutes per matrix for ~nothing
+    np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
     with open(_meta_path(path), "w") as f:
         json.dump(meta, f)
 

@@ -130,9 +130,11 @@ def spmv(state: CSSState, x):
     from ..ops import pallas as pallas_pkg
 
     if state.val_hi is not None and x.dtype == jnp.float64:
-        # df64: fused kernel on (hi, lo) f32 planes; run-end extraction and
-        # the cross-run combine stay per-plane (partials per row are few, so
-        # the f32 plane sums cost ≤ a few ulp — orders under the 1e-6 bar)
+        # df64: fused kernel on (hi, lo) f32 planes; run-end extraction stays
+        # per-plane, but the cross-run combine widens each (hi, lo) partial to
+        # f64 FIRST and segment-sums in f64 — a plain f32 hi-plane sum would
+        # re-round every partial add (~k·2⁻²⁴ rel for k partials, ADVICE r3);
+        # the f64 combine is XLA-emulated but runs over runs, not nnz.
         from ..ops.df64 import df_split_device, df_to_f64
         from ..ops.pallas.blockgather import block_gather_scan_df
         from ..ops.segsum import combine_partials, extract_run_partials
@@ -146,9 +148,8 @@ def spmv(state: CSSState, x):
             xh.reshape(state.n_xrow, LANES), xl.reshape(state.n_xrow, LANES))
         ph = extract_run_partials(sh, state.end_pos)
         plo = extract_run_partials(sl, state.end_pos)
-        yh = combine_partials(ph, state.rank_rows, state.n_row)
-        yl = combine_partials(plo, state.rank_rows, state.n_row)
-        return df_to_f64(yh, yl)
+        p64 = df_to_f64(ph, plo)
+        return combine_partials(p64, state.rank_rows, state.n_row)
     if state.variant == "optimized" and pallas_pkg.supports(x.dtype):
         from ..ops.pallas.blockgather import block_gather_scan
 

@@ -16,7 +16,11 @@ from ..config import Config
 from ..core.types import COOMatrix, round_up
 from .base import device_put, pytree_dataclass
 
-MAX_DIA_ELEMENTS = 1 << 28  # 1 GiB of f32 diagonal storage
+MAX_DIA_ELEMENTS = 1 << 30  # 4 GiB of f32 diagonal storage (v5e has 16 GB
+#                             HBM; the r3 1 GiB cap shut dia out of the
+#                             stencil-giant class — cage15's ~91 jittered
+#                             stripe offsets × 5.15 M rows = 1.9 GB streams
+#                             at roofline, ~4× the CSR5/AVX2 baseline)
 
 
 @pytree_dataclass(meta=("n_row", "n_col", "nnz", "n_diag", "n_row_pad", "x_pad_left",

@@ -22,8 +22,13 @@ from ..core.types import COOMatrix
 from .base import pytree_dataclass
 
 # pure_callback closures must be weight-free; the host matrices live here,
-# keyed by a handle carried in the (static) pytree meta.
+# keyed by a handle carried in the (static) pytree meta.  Entries are
+# refcounted by the HostLibState instances that reference them (pytree
+# flatten/unflatten clones states, so several instances may share a handle)
+# and freed when the last instance dies — without this, a suite run over many
+# giant matrices leaks GB-scale host memory (ADVICE r3).
 _HOST_MATS: dict = {}
+_REFS: dict = {}
 _NEXT = [0]
 
 # The axon TPU tunnel has no host send/recv channel (pure_callback raises
@@ -42,6 +47,20 @@ class HostLibState:
     handle: int
     dtype_name: str
     dummy: object       # zero-size leaf so the pytree has a device anchor
+
+    def __post_init__(self):
+        _REFS[self.handle] = _REFS.get(self.handle, 0) + 1
+
+    def __del__(self):
+        try:
+            n = _REFS.get(self.handle, 0) - 1
+            if n <= 0:
+                _REFS.pop(self.handle, None)
+                _HOST_MATS.pop(self.handle, None)
+            else:
+                _REFS[self.handle] = n
+        except Exception:       # interpreter shutdown: globals may be gone
+            pass
 
 
 def convert(coo: COOMatrix, cfg: Config) -> HostLibState:

@@ -105,9 +105,10 @@ def _rest_modules():
     from . import bsr as bsr_mod
     from . import css as css_mod
     from . import slab as slab_mod
+    from . import xch as xch_mod
 
     return {"bkt": bkt_mod, "bkt_g": bkt_mod, "bsr": bsr_mod, "css": css_mod,
-            "slab": slab_mod}
+            "slab": slab_mod, "xch": xch_mod}
 
 
 def convert(coo: COOMatrix, cfg: Config) -> HYBState:

@@ -228,20 +228,33 @@ def _mode_cost(mode, planes, m, h, slots, t, extra_s, kblk=1):
     return extra_s + (h // t) * STEP_FIXED_S + max(dma, compute)
 
 
-def _estimate_cols(rows0, cols0, nnz, extra_s=0.0) -> dict:
+def _estimate_cols(rows0, cols0, nnz, extra_s=0.0, fixed=None,
+                   mem_scale=1) -> dict:
     """Pick (mode, m, T, planes) by the measured step-cost model; exact slot
     accounting.  One lexsort per scope (unit / 128-row block); each window
-    candidate m re-walks the sorted stream (the walk is T-independent)."""
+    candidate m re-walks the sorted stream (the walk is T-independent).
+
+    ``fixed``: restrict to one (mode, kblk, m, t, planes) candidate — used by
+    convert to materialize the exact layout after a SAMPLED estimate chose
+    the winner.  ``mem_scale``: multiply slots for the memory-cap check when
+    estimating on a 1/mem_scale row-unit sample."""
     best = None
     nnz = len(rows0)
     # giant guard: each extra m candidate re-walks the (vectorized) stream;
     # past 60 M nnz trim the grid to the empirically-winning ms
     m_cands = M_CANDS if nnz <= 60_000_000 else (2, 4, 8, 16)
     t_cands = T_CANDS
+    mode_cands = (("unit", 10, 1), ("blk", 7, 1),
+                  ("blk", 8, 2), ("blk", 9, 4))
+    if fixed is not None:
+        mode_cands = tuple(mc for mc in mode_cands
+                           if mc[0] == fixed["mode"] and
+                           mc[2] == fixed.get("kblk", 1))
+        m_cands = (fixed["m"],)
+        t_cands = (fixed["t"],)
     # blk kblk>1: stream rows span kblk aligned 128-row blocks (scope
     # 256/512 rows) — the mid-locality/scattered fill unlock (r3)
-    for mode, shift, kblk in (("unit", 10, 1), ("blk", 7, 1),
-                              ("blk", 8, 2), ("blk", 9, 4)):
+    for mode, shift, kblk in mode_cands:
         scope0 = rows0 >> shift
         # single-key stable sort (native parallel radix when available);
         # tight multiplier instead of << 33 so the radix touches fewer bytes
@@ -259,23 +272,42 @@ def _estimate_cols(rows0, cols0, nnz, extra_s=0.0) -> dict:
                               | (blocks[1:] != blocks[:-1])])
         spb = len(cols_s) / max(int(chg.sum()), 1)
         for m in m_cands:
-            if spb * m < 12 and m != m_cands[-1]:
+            if fixed is None and spb * m < 12 and m != m_cands[-1]:
                 continue
             sizes, bases, urows = _walk(cols_s, scope_starts, m)
             cands = [("unit", 8 * s) for s in SPAN_CANDS] if mode == "unit" \
                 else [("blk", p) for p in BLK_PLANES]
+            if fixed is not None:
+                cands = [c for c in cands if c[1] == fixed["planes"]]
             for t in t_cands:
                 for _, planes in cands:
                     if mode == "blk" and planes % kblk:
                         continue
                     if mode == "unit":
-                        h = int(_pad_units(urows, t, planes // 8).sum())
+                        upad = _pad_units(urows, t, planes // 8)
                     else:
-                        h = int(_pad_blocks(urows, t, planes // kblk).sum())
+                        upad = _pad_blocks(urows, t, planes // kblk)
+                    h = int(upad.sum())
+                    # a single unit larger than the stream-chunk cap would
+                    # make convert's _chunk_cuts raise (ADVICE r3): refuse
+                    # the candidate here, at estimate time, by replaying the
+                    # exact cut condition (max gap between new-first-unit
+                    # steps must fit one chunk)
+                    max_steps = max(CHUNK_ROWS // t, 1)
+                    if h // t > max_steps:
+                        bounds = np.cumsum(upad)
+                        uc = np.searchsorted(
+                            bounds, np.arange(h // t, dtype=np.int64) * t,
+                            side="right")
+                        marks = np.flatnonzero(
+                            np.concatenate([[True], uc[1:] != uc[:-1]]))
+                        if int(np.diff(np.append(marks, h // t)).max(
+                                initial=0)) > max_steps:
+                            continue
                     slots = h * LANES
                     bps = (7 + planes) if mode == "unit" else 8 + kblk
                     if slots > PAD_LIMIT * nnz + (1 << 16) or \
-                            slots * bps > SLOT_MEM_CAP:
+                            slots * bps * mem_scale > SLOT_MEM_CAP:
                         continue
                     sec = _mode_cost(mode, planes, m, h, slots, t, extra_s,
                                      kblk)
@@ -356,6 +388,11 @@ def _chunk_cuts(uids, n_steps: int, t_step: int, n_units: int):
     return out
 
 
+SAMPLE_NNZ = 16_000_000     # estimate on a 1/s row-unit sample past this —
+#                             r3's full-grid estimate (16 sorted walks) was
+#                             the 146-916 s convert-time hotspot on giants
+
+
 def estimate(coo: COOMatrix, cfg: Config) -> dict:
     if coo.nnz == 0 or coo.n_row == 0:
         return {"feasible": False, "est_s": 0.0, "slots": 0, "m": 1, "t": 32,
@@ -367,7 +404,30 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
                 "hub_off": 0}
     rows0 = hm.astype(coo.row, np.int64)
     cols0 = hm.astype(coo.col, np.int64)
-    plan = _estimate_cols(rows0, cols0, coo.nnz)
+    s = max(-(-coo.nnz // SAMPLE_NNZ), 1)
+    if s > 1:
+        sel = (rows0 >> 10) % s == 0      # every s-th 1024-row unit: keeps
+        rows_e = rows0[sel]               # per-unit structure exactly
+    else:
+        sel = None
+        rows_e = rows0
+
+    def _est(cols_full, extra_s=0.0):
+        cols_e = cols_full[sel] if s > 1 else cols_full
+        if len(cols_e) == 0:
+            return {"feasible": False, "est_s": float("inf"), "slots": 0,
+                    "m": 1, "t": 32, "mode": "unit", "planes": 8, "kblk": 1}
+        p = _estimate_cols(rows_e, cols_e, len(cols_e), extra_s=extra_s,
+                           mem_scale=s)
+        if s > 1 and p["feasible"]:
+            p["est_s"] = s * (p["est_s"] - extra_s) + extra_s
+            p["slots"] = s * p["slots"]
+            p["sampled"] = s
+            for k in ("order", "sizes", "bases", "urows", "unit_ids"):
+                p.pop(k, None)            # sample-only layout: convert redoes
+        return p
+
+    plan = _est(cols0)
     plan.update(hub_cols=None, cols_eff=None, hub_off=0)
     if plan["feasible"] and plan["slots"] <= 1.8 * coo.nnz:
         return plan
@@ -375,8 +435,7 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
     hub_cols, cols_eff, off = _hub_relabel(cols0, degs, coo.n_col)
     if hub_cols is None:
         return plan
-    plan2 = _estimate_cols(rows0, cols_eff, coo.nnz,
-                           extra_s=len(hub_cols) / HUB_GATHER_RATE)
+    plan2 = _est(cols_eff, extra_s=len(hub_cols) / HUB_GATHER_RATE)
     if plan2["feasible"] and plan2["est_s"] < plan["est_s"]:
         plan2.update(hub_cols=hub_cols, cols_eff=cols_eff, hub_off=off)
         return plan2
@@ -391,6 +450,22 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
             return _empty_state(coo, cfg)
         raise ValueError("slab: padding/collision bounds exceeded "
                          f"(slots={plan['slots']}, nnz={coo.nnz})")
+    if plan.get("sampled"):
+        # the estimate ran on a row-unit sample: materialize the exact layout
+        # for the winning candidate only (one sort + one walk)
+        rows0 = hm.astype(coo.row, np.int64)
+        cols_x = plan["cols_eff"] if plan.get("cols_eff") is not None \
+            else hm.astype(coo.col, np.int64)
+        fixed = {"mode": plan["mode"], "m": plan["m"], "t": plan["t"],
+                 "planes": plan["planes"], "kblk": plan.get("kblk", 1)}
+        full = _estimate_cols(rows0, cols_x, coo.nnz, fixed=fixed)
+        if not full["feasible"]:
+            raise ValueError("slab: sampled plan infeasible at full scale "
+                             f"(slots={full.get('slots')}, nnz={coo.nnz})")
+        for k in ("hub_cols", "cols_eff", "hub_off"):
+            full[k] = plan.get(k)
+        full["hub_off"] = plan.get("hub_off", 0)
+        plan = full
     m, t_step = plan["m"], plan["t"]
     mode, planes = plan["mode"], plan["planes"]
     kblk = plan.get("kblk", 1)

@@ -1,0 +1,538 @@
+"""XCH — two-pass exchange engine for hyper-sparse / scattered giants.
+
+The slab engine packs 128-slot stream rows whose columns share an m·128-col
+window INSIDE a 1024-row unit.  On the hyper-sparse giant class (circuit5M,
+rajat31, webbase: ≥1 M rows, ≤10 nnz/row, no locality) that joint constraint
+is unsatisfiable — a (unit × window) cell holds ~8 nonzeros, so stream rows
+run at fill 8/128 and the state pads 6–16× (r3: circuit5M 0.09× baseline,
+916 s converts).  XCH splits the two constraints into two fill-perfect passes
+with ONE order exchange between them:
+
+  pass 1 (mul):   nonzeros sorted by (chunk, col) — chunk = K consecutive
+                  nonzeros of the row-major stream.  Col-sorted order makes
+                  the x windows slide monotonically (spans ~n_col/K per
+                  stream row → window fill ≈ 1 for ANY structure; hub
+                  columns are contiguous constant runs, i.e. free).  The
+                  kernel gathers x from the VMEM-resident table, multiplies,
+                  and writes products linearly: no routing at all.
+  pass 2 (route): product slots re-gathered into (bucket, col) order — a
+                  bucket is ``planes``·128 consecutive rows.  Because a
+                  bucket's sources interleave the chunk's product stream
+                  ~evenly (gap ≈ rows_per_chunk/rows_per_bucket), the
+                  gather is again a monotone sliding window (m2 blocks) —
+                  over the chunk's products, which fit one VMEM block.
+                  Within each 128-slot stream row the slots are laid out
+                  row-contiguously (any per-slot order is reachable: the
+                  window gather is index-addressed), so runs reduce with the
+                  MXU prefix trick and route to the bucket's (planes, 128)
+                  output block through σ-planes — exactly slab's machinery,
+                  now at fill ≈ 1.
+
+The exchange granularity obeys m1·m2 ≈ n_row·n_col/(scope·nnz): for
+circuit5M (scope 2048) that is ~253, i.e. m1 = m2 = 16 — each pass pays a
+16-way one-hot select per slot instead of slab's 16× padding.
+
+Reference parity: this is the CSR5 idea taken to its TPU conclusion — CSR5
+tiles the *nnz space* with rows unconstrained per tile
+(/root/reference/opt/Benchmark_SpMV_using_CSR5/CSR5_avx2/detail/avx2/
+csr5_spmv_avx2.h:47-267, tile = ω·σ slots, cross-tile carry via calibrator);
+XCH's pass-2 stream rows are such tiles, with the carry/empty-row machinery
+replaced by static σ-plane routing computed at convert time.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Config
+from ..core import hostmem as hm
+from ..core.types import COOMatrix, cdiv
+from .base import device_put, pytree_dataclass
+from .slab import _walk
+
+LANES = 128
+X_TABLE_CAP = 96 << 20      # VMEM-resident x table bound (v5e, as slab)
+P1_CAP_ROWS = 12288         # chunk product block ≤ 6 MB VMEM (12288·128·4B)
+M_MAX = 120                 # int8 sub index headroom
+CHUNK_STEPS = 40_000        # steps per pallas_call (SMEM prefetch ≤ 1 MB:
+#                             uids + cs (4 B/step) + win2 (4 B/stream row))
+
+# measured-rate cost model (TPU v5e; slab kernel family constants — the xch
+# kernels share the gather/select/route building blocks). Re-fit after the
+# first chip run (scripts/bench_xch.py).
+STEP_FIXED_S = 0.35e-6
+BASE_SLOT_S = 0.015e-9
+SEL_SLOT_S = 0.002e-9       # per window member per slot (one-hot select)
+ROUTE_SLOT_S = 0.004e-9     # per σ-plane (pick + mask + reduce)
+HBM_BPS = 700e9
+
+
+@pytree_dataclass(meta=("n_row", "n_col", "nnz", "m1", "m2", "t1", "t2",
+                        "planes", "n_chunks", "p1", "cb_pad", "n_buckets",
+                        "n_slots1", "n_slots2", "chunk_nb"))
+class XchState:
+    n_row: int
+    n_col: int
+    nnz: int
+    m1: int                 # pass-1 x window col-blocks
+    m2: int                 # pass-2 product window blocks (of 128 slots)
+    t1: int                 # pass-1 stream rows per grid step
+    t2: int                 # pass-2 stream rows per grid step
+    planes: int             # σ-planes = bucket scope / 128 (8 or 16)
+    n_chunks: int
+    p1: int                 # product stream rows per chunk (fixed)
+    cb_pad: int             # x-table col-blocks
+    n_buckets: int          # compact (nonempty) buckets
+    n_slots1: int
+    n_slots2: int
+    chunk_nb: tuple         # compact buckets per pass-2 call chunk
+    # pass 1 (single pallas_call; win1 prefetch is 4 B/stream row ≤ 1 MB up
+    # to 250k rows — chunked like pass 2 when larger)
+    win1: object            # k × (H1_c,) int32 — x window base col-block
+    lane1: object           # k × (H1_c, 128) int8
+    sub1: object            # k × (H1_c, 128) int8
+    val1: object            # k × (H1_c, 128) dtype
+    # pass 2 (per-call-chunk tuples)
+    uids2: object           # k × (S_c,) int32 — call-local compact bucket/step
+    cs2: object             # k × (S_c,) int32 — source chunk per step
+    win2: object            # k × (H2_c,) int32 — chunk-local product row base
+    lane2: object           # k × (H2_c, 128) int8
+    sub2: object            # k × (H2_c, 128) int8
+    hm2: object             # k × (H2_c, 128) int8
+    idx2: object            # k × (planes, H2_c, 128) int8 — σ-plane end-lanes
+    bucket_ids: object      # (n_buckets,) int32 — original bucket ids
+
+
+# ---------------------------------------------------------------- planning ---
+
+def _span_quantiles(sorted_keys, group_starts, qs=(0.5, 0.75, 0.9)):
+    """Candidate window sizes (in 128-blocks) from span quantiles of 128
+    consecutive same-group keys — the walk's cut rate at m = q-span is ~1-q."""
+    if len(sorted_keys) <= 128:
+        return [1]
+    lag = 127
+    a = sorted_keys[lag:] - sorted_keys[:-lag]
+    # ignore spans that cross a group boundary (the walk cuts there anyway)
+    gi = np.searchsorted(group_starts, np.arange(len(sorted_keys)),
+                         side="right")
+    same = gi[lag:] == gi[:-lag]
+    a = a[same]
+    if a.size == 0:
+        return [1]
+    out = []
+    for q in qs:
+        s = int(np.quantile(a, q))
+        out.append(int(np.clip((s >> 7) + 2, 1, M_MAX)))
+    return sorted(set(out))
+
+
+def _best_walk(keys, starts, t, per_slot_ns, pad_h, m_override=None,
+               m_cap=M_MAX):
+    """Walk at candidate window sizes, pick the one minimizing the measured
+    step-cost model: steps·FIXED + padded_slots·per_slot_ns(m)."""
+    cands = [min(m_override, m_cap)] if m_override else \
+        [min(m, m_cap) for m in _span_quantiles(keys, starts[1:-1])]
+    best = None
+    for m in sorted(set(cands)):
+        sizes, bases, grows = _walk(keys, starts, m)
+        h = pad_h(grows, t)
+        sec = (h / t) * STEP_FIXED_S + h * LANES * per_slot_ns(m)
+        if best is None or sec < best[0]:
+            best = (sec, m, sizes, bases, grows)
+    return best[1], best[2], best[3], best[4]
+
+
+def estimate(coo: COOMatrix, cfg: Config) -> dict:
+    """Closed-form plan (no sorts): scope, K, predicted m1/m2 and cost.
+
+    The exact m's come from span quantiles at convert; here the uniform-mix
+    bound m1·m2 ≈ n_row·n_col/(scope·nnz) sizes the cost for the planner."""
+    n_r, n_c, nnz = max(coo.n_row, 1), max(coo.n_col, 1), max(coo.nnz, 1)
+    if coo.nnz == 0:
+        return {"feasible": False, "est_s": 0.0}
+    if cdiv(n_c, LANES) * LANES * np.dtype(cfg.dtype).itemsize > X_TABLE_CAP:
+        return {"feasible": False, "est_s": float("inf")}
+    best = None
+    for planes in (8, 16):
+        scope = planes * LANES
+        q = n_r * n_c / (scope * nnz)
+        m_bal = max(np.sqrt(q), 1.0)
+        # K = slots per chunk; balance m1 ≈ n_c/K vs m2 ≈ K·n_r/(scope·nnz)
+        k_slots = int(np.clip(n_c / m_bal, 16 * LANES, P1_CAP_ROWS * LANES))
+        m1 = int(np.clip(cdiv(n_c, k_slots), 1, M_MAX))
+        m2 = int(np.clip(round(k_slots * n_r / (scope * nnz) + 0.5), 1, M_MAX))
+        t1, t2 = 64, 32
+        slots = 1.12 * nnz          # fill ≈ 0.9 both passes (pad model)
+        per_slot = (2 * BASE_SLOT_S + (m1 + m2) * SEL_SLOT_S
+                    + planes * ROUTE_SLOT_S)
+        bytes_per = (np.dtype(cfg.dtype).itemsize + 2    # pass1 val+lane+sub
+                     + 4 + 4                             # product write+read
+                     + 3 + planes)                       # lane2+sub2+hm2+idx
+        fixed = slots / LANES * (1.0 / t1 + 1.0 / t2) * STEP_FIXED_S
+        sec = fixed + max(slots * per_slot, slots * bytes_per / HBM_BPS)
+        cand = {"feasible": True, "est_s": sec, "planes": planes,
+                "k_slots": k_slots, "m1": m1, "m2": m2, "t1": t1, "t2": t2,
+                "slots": int(slots)}
+        if best is None or sec < best["est_s"]:
+            best = cand
+    return best
+
+
+# ----------------------------------------------------------------- convert ---
+
+def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
+    dtype = cfg.np_dtype
+    if coo.nnz == 0 or coo.n_row == 0:
+        return _empty_state(coo, cfg)
+    p = plan or estimate(coo, cfg)
+    if not p["feasible"]:
+        raise ValueError("xch: infeasible (x table exceeds VMEM cap)")
+    planes, t1, t2 = p["planes"], p["t1"], p["t2"]
+    scope = planes * LANES
+    nnz = coo.nnz
+
+    rows0 = hm.astype(coo.row, np.int64)
+    cols0 = hm.astype(coo.col, np.int64)
+    vals0 = hm.astype(coo.val, dtype)
+
+    # ---- pass-1 layout: (chunk, col)-sorted, sliding x windows ----
+    k_slots = int(min(p["k_slots"], nnz))
+    n_chunks = cdiv(nnz, k_slots)
+    g1 = hm.arange(nnz) // k_slots            # input is row-major sorted
+    o1 = hm.argsort_keys(g1 * np.int64(coo.n_col) + cols0)
+    cols_s = cols0[o1]
+    chunk_starts = np.concatenate(
+        [np.searchsorted(g1[o1], np.arange(n_chunks)), [nnz]])
+
+    def _pad1(grows, t):
+        return n_chunks * int(cdiv(int(grows.max(initial=1)), t) * t)
+
+    m1, sizes1, bases1, crows1 = _best_walk(
+        cols_s, chunk_starts, t1,
+        lambda m: BASE_SLOT_S + m * SEL_SLOT_S, _pad1,
+        m_override=p.get("m1_fix"))
+
+    p1 = int(cdiv(int(crows1.max(initial=1)), t1) * t1)
+    h1 = n_chunks * p1
+    # walk rows (chunk-major) -> final stream rows at chunk offsets
+    wstart1 = np.concatenate([[0], np.cumsum(crows1)[:-1]])
+    cidx = np.repeat(hm.arange(n_chunks), crows1)
+    final1 = cidx * p1 + (hm.arange(len(sizes1)) - wstart1[cidx])
+
+    win1 = hm.zeros(h1, np.int32)
+    win1[final1] = bases1.astype(np.int32)
+    lane1 = hm.zeros((h1, LANES), np.int8)
+    sub1 = hm.zeros((h1, LANES), np.int8)
+    val1 = hm.zeros((h1, LANES), dtype)
+    sr1 = final1[np.repeat(hm.arange(len(sizes1)), sizes1)]
+    li1 = hm.arange(nnz) - np.repeat(wslot_starts(sizes1), sizes1)
+    lane1[sr1, li1] = (cols_s & (LANES - 1)).astype(np.int8)
+    sub1[sr1, li1] = ((cols_s >> 7) - win1[sr1]).astype(np.int8)
+    val1[sr1, li1] = vals0[o1]
+
+    # per-nnz product position (in pass-1 order)
+    src = sr1 * np.int64(LANES) + li1
+
+    # ---- pass-2 layout: (bucket, src)-sorted, sliding product windows ----
+    bshift = int(np.log2(scope))
+    buckets = (rows0[o1] >> bshift)
+    o2 = hm.argsort_keys(buckets * np.int64(h1) * LANES + src)
+    src_s = src[o2]
+    buck_s = buckets[o2]
+    rows_s = rows0[o1][o2]
+    chunk_of = src_s // (np.int64(p1) * LANES)
+    grp = buck_s * np.int64(n_chunks + 1) + chunk_of
+    gb = np.flatnonzero(np.concatenate([[True], grp[1:] != grp[:-1]]))
+    grp_starts = np.append(gb, nnz)
+    def _pad2(grows, t):
+        return int((cdiv_np(grows, t) * t).sum())
+
+    m2, sizes2, bases2, grows2 = _best_walk(
+        src_s, grp_starts, t2,
+        lambda m: (BASE_SLOT_S + m * SEL_SLOT_S + planes * ROUTE_SLOT_S),
+        _pad2, m_override=p.get("m2_fix"), m_cap=min(M_MAX, p1))
+
+    # pad each (bucket, chunk) group to t2 stream rows (steps must stay in
+    # one out block AND one source block)
+    grows_pad = cdiv_np(grows2, t2) * t2
+    h2 = int(grows_pad.sum())
+    gstart = np.concatenate([[0], np.cumsum(grows_pad)[:-1]])
+    wstart2 = np.concatenate([[0], np.cumsum(grows2)[:-1]])
+    gidx = np.repeat(hm.arange(len(grows2)), grows2)
+    final2 = gstart[gidx] + (hm.arange(len(sizes2)) - wstart2[gidx])
+
+    grp_bucket = buck_s[gb]                       # per walk GROUP
+    grp_chunk = chunk_of[gb].astype(np.int64)
+
+    # chunk-local window base, clamped so [win, win+m2) stays in the block
+    base_loc = bases2 - grp_chunk[gidx] * p1
+    base_loc = np.minimum(np.maximum(base_loc, 0), p1 - m2)
+    win2 = hm.zeros(h2, np.int32)
+    win2[final2] = base_loc.astype(np.int32)
+    # padded rows inherit their group's chunk (any valid base: 0)
+
+    # per-slot stream row, then re-sort slots by (stream row, y row, src) so
+    # each y row is one contiguous run per stream row
+    sr2_0 = final2[np.repeat(hm.arange(len(sizes2)), sizes2)]
+    o3 = hm.argsort_keys(sr2_0 * np.int64(coo.n_row + 1) + rows_s)
+    src_f, rows_f, sr2 = src_s[o3], rows_s[o3], sr2_0[o3]
+    new_row = np.concatenate([[True], sr2[1:] != sr2[:-1]])
+    rstart = np.flatnonzero(new_row)
+    li2 = hm.arange(nnz) - rstart[np.cumsum(new_row) - 1]
+
+    lane2 = hm.zeros((h2, LANES), np.int8)
+    sub2 = hm.zeros((h2, LANES), np.int8)
+    hm2 = hm.zeros((h2, LANES), np.int8)
+    src_row = src_f >> 7
+    chunk_f = src_row // np.int64(p1)
+    lane2[sr2, li2] = (src_f & (LANES - 1)).astype(np.int8)
+    sub2[sr2, li2] = (src_row - chunk_f * p1 - win2[sr2]).astype(np.int8)
+
+    new_run = hm.zeros(nnz, np.bool_)
+    new_run[0] = True
+    new_run[1:] = (rows_f[1:] != rows_f[:-1]) | (sr2[1:] != sr2[:-1])
+    qpos = sr2 * LANES + li2
+    head_q = np.maximum.accumulate(np.where(new_run, qpos, -1))
+    hm2[sr2, li2] = (head_q - sr2 * LANES - 1).astype(np.int8)
+
+    end = hm.zeros(nnz, np.bool_)
+    end[:-1] = new_run[1:]
+    end[-1] = True
+    r_run, sr_run, e_lane = rows_f[end], sr2[end], li2[end]
+    sigma = (r_run & np.int64(scope - 1)) >> 7
+    l_run = r_run & np.int64(LANES - 1)
+    idx2 = hm.full((planes, h2, LANES), -1, np.int8)
+    idx2[sigma, sr_run, l_run] = e_lane.astype(np.int8)
+
+    # per-step bucket (compact) + source chunk
+    n_steps = h2 // t2
+    grp_of_frow = np.repeat(hm.arange(len(grows_pad)),
+                            grows_pad.astype(np.int64))
+    g_step = grp_of_frow[::t2]
+    buck_step = grp_bucket[g_step]
+    chunk_step = grp_chunk[g_step].astype(np.int32)
+    ub, binv = np.unique(buck_step, return_inverse=True)
+    uids = binv.astype(np.int32)                  # compact, non-decreasing
+    n_buckets = len(ub)
+
+    # ---- split pass-2 into SMEM-prefetch-sized pallas_calls ----
+    cz = _chunk_steps(uids, n_steps)
+    u_t, c_t, w_t, la_t, su_t, hm_t, ix_t = [], [], [], [], [], [], []
+    for s0, s1, u0, _nb in cz:
+        r0, r1 = s0 * t2, s1 * t2
+        u_t.append(device_put((uids[s0:s1] - u0).astype(np.int32)))
+        c_t.append(device_put(chunk_step[s0:s1]))
+        w_t.append(device_put(win2[r0:r1]))
+        la_t.append(device_put(lane2[r0:r1]))
+        su_t.append(device_put(sub2[r0:r1]))
+        hm_t.append(device_put(hm2[r0:r1]))
+        ix_t.append(device_put(idx2[:, r0:r1]))
+
+    # ---- split pass-1 likewise (win1 prefetch = 4 B/stream row ≤ 1 MB) ----
+    cz1 = []
+    max_rows1 = (160_000 // t1) * t1            # plain range split
+    for r0 in range(0, h1, max_rows1):
+        cz1.append((r0, min(r0 + max_rows1, h1)))
+    w1_t, la1_t, su1_t, va1_t = [], [], [], []
+    for r0, r1 in cz1:
+        w1_t.append(device_put(win1[r0:r1]))
+        la1_t.append(device_put(lane1[r0:r1]))
+        su1_t.append(device_put(sub1[r0:r1]))
+        va1_t.append(device_put(val1[r0:r1]))
+
+    cb_tot = cdiv(max(coo.n_col, 1), LANES)
+    return XchState(
+        n_row=coo.n_row, n_col=coo.n_col, nnz=nnz, m1=m1, m2=m2, t1=t1,
+        t2=t2, planes=planes, n_chunks=n_chunks, p1=p1,
+        cb_pad=cb_tot + m1, n_buckets=n_buckets,
+        n_slots1=h1 * LANES, n_slots2=h2 * LANES,
+        chunk_nb=tuple(c[3] for c in cz),
+        win1=tuple(w1_t), lane1=tuple(la1_t), sub1=tuple(su1_t),
+        val1=tuple(va1_t),
+        uids2=tuple(u_t), cs2=tuple(c_t), win2=tuple(w_t),
+        lane2=tuple(la_t), sub2=tuple(su_t), hm2=tuple(hm_t),
+        idx2=tuple(ix_t), bucket_ids=device_put(ub.astype(np.int32)))
+
+
+def wslot_starts(sizes):
+    return np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+
+
+def cdiv_np(a, b):
+    return -(-a // b)
+
+
+def _chunk_steps(uids, n_steps):
+    """Split pass-2 steps into ≤CHUNK_STEPS chunks, cutting at new-bucket
+    steps.  Returns [(s0, s1, first_bucket, n_buckets_in_chunk)]."""
+    if n_steps == 0:
+        return []
+    if n_steps <= CHUNK_STEPS:
+        return [(0, n_steps, 0, int(uids[-1]) + 1)]
+    new_b = np.flatnonzero(np.concatenate([[True], uids[1:] != uids[:-1]]))
+    cuts = [0]
+    while cuts[-1] + CHUNK_STEPS < n_steps:
+        k = np.searchsorted(new_b, cuts[-1] + CHUNK_STEPS, side="right") - 1
+        s = int(new_b[k])
+        if s <= cuts[-1]:
+            raise ValueError("xch: a single bucket exceeds the step cap")
+        cuts.append(s)
+    cuts.append(n_steps)
+    out = []
+    for i in range(len(cuts) - 1):
+        s0, s1 = cuts[i], cuts[i + 1]
+        u0 = int(uids[s0])
+        u_next = int(uids[s1]) if s1 < n_steps else int(uids[-1]) + 1
+        out.append((s0, s1, u0, u_next - u0))
+    return out
+
+
+def _empty_state(coo, cfg):
+    dtype = cfg.np_dtype
+    z8 = lambda *s: device_put(hm.zeros(s, np.int8))
+    return XchState(
+        n_row=coo.n_row, n_col=coo.n_col, nnz=0, m1=1, m2=1, t1=8, t2=8,
+        planes=8, n_chunks=1, p1=8, cb_pad=1, n_buckets=0,
+        n_slots1=0, n_slots2=0, chunk_nb=(0,),
+        win1=(device_put(hm.zeros(0, np.int32)),),
+        lane1=(z8(0, LANES),), sub1=(z8(0, LANES),),
+        val1=(device_put(hm.zeros((0, LANES), dtype)),),
+        uids2=(device_put(hm.zeros(0, np.int32)),),
+        cs2=(device_put(hm.zeros(0, np.int32)),),
+        win2=(device_put(hm.zeros(0, np.int32)),),
+        lane2=(z8(0, LANES),), sub2=(z8(0, LANES),), hm2=(z8(0, LANES),),
+        idx2=(device_put(hm.full((8, 0, LANES), -1, np.int8)),),
+        bucket_ids=device_put(hm.zeros(0, np.int32)))
+
+
+# -------------------------------------------------------------------- spmv ---
+
+def _mul_phase(state: XchState, x):
+    import jax.numpy as jnp
+
+    from ..ops.pallas.xch import xch_mul
+
+    xp = jnp.zeros((state.cb_pad * LANES,), x.dtype)
+    xp = xp.at[: state.n_col].set(x)
+    xp = xp.reshape(state.cb_pad, LANES)
+    prods = [xch_mul(w, la, su, va, xp, state.m1, state.t1)
+             for w, la, su, va in zip(state.win1, state.lane1, state.sub1,
+                                      state.val1)]
+    prod = prods[0] if len(prods) == 1 else jnp.concatenate(prods, axis=0)
+    return prod.reshape(state.n_chunks, state.p1, LANES)
+
+
+def _route_phase(state: XchState, prod3):
+    import jax.numpy as jnp
+
+    from ..ops.pallas.xch import xch_route
+
+    n = state.n_row
+    outs = [xch_route(u, c, w, la, su, h2, ix, prod3,
+                      nb, state.m2, state.planes, state.t2)
+            for u, c, w, la, su, h2, ix, nb in zip(
+                state.uids2, state.cs2, state.win2, state.lane2, state.sub2,
+                state.hm2, state.idx2, state.chunk_nb)]
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    yb = out.reshape(state.n_buckets, state.planes * LANES)
+    scope = state.planes * LANES
+    nb_tot = cdiv(max(n, 1), scope)
+    y2 = jnp.zeros((nb_tot, scope), prod3.dtype)
+    y2 = y2.at[state.bucket_ids].set(yb, mode="drop", unique_indices=True)
+    return y2.reshape(-1)[:n]
+
+
+def spmv(state: XchState, x):
+    import jax.numpy as jnp
+
+    from ..ops import pallas as pallas_pkg
+
+    if state.nnz == 0 or state.n_buckets == 0:
+        return jnp.zeros((state.n_row,), x.dtype)
+    if not pallas_pkg.supports(x.dtype):
+        raise TypeError("xch runs Pallas kernels: use float32/bfloat16 "
+                        "(csr/ss for the f64 XLA path)")
+    return _route_phase(state, _mul_phase(state, x))
+
+
+def phases(state: XchState):
+    """Mul/Route split for the driver's MulPerf/SumPerf report keys
+    (reference opt_ss.cpp phases; src/main.cpp:173-174)."""
+    return {"Mul": _mul_phase, "Sum": _route_phase}
+
+
+def spmm(state: XchState, X):
+    import jax
+
+    return jax.vmap(spmv, in_axes=(None, 1), out_axes=1)(state, X)
+
+
+# ----------------------------------------------------------------- reports ---
+
+def report_fields(state: XchState, cfg: Config) -> dict:
+    return {"Window1Blocks": state.m1, "Window2Blocks": state.m2,
+            "RoutePlanes": state.planes, "Chunks": state.n_chunks,
+            "PadFactor": round((state.n_slots1 + state.n_slots2)
+                               / max(2 * state.nnz, 1), 3)}
+
+
+def traffic_bytes(state: XchState, cfg: Config) -> int:
+    vsz = np.dtype(cfg.dtype).itemsize
+    pass1 = state.n_slots1 * (vsz + 2) + state.n_slots1 * 4   # stream + write
+    pass2 = state.n_slots2 * (3 + state.planes) + state.n_slots1 * 4
+    return (pass1 + pass2 + state.n_row * vsz
+            + state.cb_pad * LANES * vsz)
+
+
+def to_coo(state: XchState) -> COOMatrix:
+    """Host-side inverse: recover (row, col, val) from the two layouts."""
+    cat = lambda t, ax=0: np.concatenate([np.asarray(a) for a in t], axis=ax)
+    lane1 = cat(state.lane1).astype(np.int64)
+    sub1 = cat(state.sub1).astype(np.int64)
+    val1 = cat(state.val1).astype(np.float64)
+    win1 = cat(state.win1).astype(np.int64)
+    if lane1.shape[0] == 0:
+        return COOMatrix.from_triplets(state.n_row, state.n_col, [], [], [],
+                                       sort=True)
+    cols_grid = (win1[:, None] + sub1) * LANES + lane1    # (H1, 128)
+
+    lane2 = cat(state.lane2).astype(np.int64)
+    sub2 = cat(state.sub2).astype(np.int64)
+    win2 = cat(state.win2).astype(np.int64)
+    hm2 = cat(state.hm2).astype(np.int64)
+    idx2 = cat(state.idx2, ax=1).astype(np.int64)
+    u_base = np.cumsum([0] + list(state.chunk_nb[:-1]))
+    uids = np.concatenate([np.asarray(u).astype(np.int64) + b
+                           for u, b in zip(state.uids2, u_base)])
+    cs = np.concatenate([np.asarray(c).astype(np.int64)
+                         for c in state.cs2])
+    bucket_ids = np.asarray(state.bucket_ids).astype(np.int64)
+    h2 = lane2.shape[0]
+    scope = state.planes * LANES
+
+    # rows: σ-plane ends + backward run propagation (as slab.to_coo)
+    step_of = np.repeat(np.arange(h2 // state.t2), state.t2)
+    rows = np.full((h2, LANES), -1, np.int64)
+    for sigma in range(state.planes):
+        e = idx2[sigma]
+        valid = e >= 0
+        sr_i, l_i = np.nonzero(valid)
+        end_lane = e[sr_i, l_i]
+        rr = (bucket_ids[uids[step_of[sr_i]]] * scope
+              + sigma * LANES + l_i)
+        rows[sr_i, end_lane] = rr
+    for j in range(LANES - 2, -1, -1):
+        unset = rows[:, j] < 0
+        same_run = hm2[:, j + 1] != j
+        rows[same_run & unset, j] = rows[same_run & unset, j + 1]
+
+    # src product position per pass-2 slot -> (col, val) via pass-1 grid
+    src_row = cs[step_of][:, None] * state.p1 + win2[:, None] + sub2
+    src = src_row * LANES + lane2
+    mask = rows >= 0
+    src_m = src[mask]
+    cols = cols_grid.reshape(-1)[src_m]
+    vals = val1.reshape(-1)[src_m]
+    keep = vals != 0
+    return COOMatrix.from_triplets(
+        state.n_row, state.n_col,
+        rows[mask][keep], cols[keep], vals[keep], sort=True)

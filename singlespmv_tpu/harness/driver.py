@@ -113,6 +113,8 @@ def run_benchmark(
     quick: bool = False,         # skip calibration (tests): 1 trial × 3 iterations
     trace_dir: Optional[str] = None,   # jax.profiler trace (VTune-ITT analog,
                                        # reference main.cpp:10-12 commented hooks)
+    cache_dir: Optional[str] = None,   # converted-state cache (formats/cache.py):
+                                       # OptimizeTime then measures the cache load
     log=lambda msg: print(msg, file=sys.stderr),
 ) -> BenchResult:
     import jax
@@ -142,7 +144,12 @@ def run_benchmark(
     for _attempt in range(4):
         log(f"{mat_name}: convert (format={cfg.format}) ...")
         t0 = now()
-        state = formats.convert(coo, cfg)
+        if cache_dir:
+            from ..formats.cache import convert_cached
+
+            state = convert_cached(coo, cfg, cache_dir, mat_name)
+        else:
+            state = formats.convert(coo, cfg)
         state = jax.block_until_ready(state)
         optimize_s = now() - t0
 

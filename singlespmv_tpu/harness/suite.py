@@ -42,7 +42,7 @@ TSV_COLS = ("Matrix", "nRow", "nNnz", "ChosenFormat", "GFLOPS",
 def run_suite(names: Optional[List[str]] = None, *,
               cfg: Optional[Config] = None, out: Optional[str] = None,
               matrix_dir: Optional[str] = None, seed: int = 0,
-              append: bool = False,
+              append: bool = False, cache_dir: Optional[str] = None,
               log=lambda m: print(m, file=sys.stderr)) -> List[dict]:
     """Benchmark the natural suite; returns one dict per matrix.
 
@@ -81,10 +81,12 @@ def run_suite(names: Optional[List[str]] = None, *,
         try:
             log(f"=== {label} ===")
             if mtx and os.path.exists(mtx):
-                res = run_benchmark(mtx, cfg, name=label, log=log)
+                res = run_benchmark(mtx, cfg, name=label, log=log,
+                                    cache_dir=cache_dir)
             else:
                 coo = synthesize_structured(name, seed=seed)
-                res = run_benchmark(coo, cfg, name=label, log=log)
+                res = run_benchmark(coo, cfg, name=label, log=log,
+                                    cache_dir=cache_dir)
             base = BASELINE_AVX2.get(name, float("nan"))
             r = res.report
             emit({

@@ -1,0 +1,157 @@
+"""XCH kernels — the two fill-perfect passes of the exchange engine.
+
+Pass 1 (``xch_mul``): stream (chunk, col)-sorted slots; per stream row, copy
+an m1-block window of the VMEM-resident x table, 128-lane gather + one-hot
+select, multiply by val, write the (T1, 128) product tile linearly.  This is
+slab's ``_gather_mul`` with the routing deleted — col-sorted order makes the
+windows slide monotonically at fill ≈ 1 on any structure.
+
+Pass 2 (``xch_route``): stream (bucket, col)-sorted slots; the "x table" is
+now the source chunk's PRODUCT block — (1, P1, 128) selected per step by the
+prefetched chunk id, so each chunk's products are DMA'd into VMEM once and
+every bucket window-gathers from VMEM.  Slots arrive laid out run-contiguous
+per stream row (convert chooses the order; the gather is index-addressed so
+any order is free), runs reduce with the MXU prefix trick, σ-planes route to
+the bucket's (planes, 128) block.
+
+See formats/xch.py for the layout contract and the CSR5 lineage
+(/root/reference/opt/Benchmark_SpMV_using_CSR5/CSR5_avx2/detail/avx2/
+csr5_spmv_avx2.h — nnz-space tiles with unconstrained rows per tile).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .slab import _gather_mul, _run_totals, _use_interpret, _vmem_params
+
+LANES = 128
+
+
+def _vmem_params_bytes(resident_bytes, step_bytes, out_bytes):
+    need = resident_bytes + 3 * step_bytes + out_bytes + (6 << 20)
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(max(need, 32 << 20), 110 << 20)))
+
+
+def _xch_mul_kernel(win_ref, lane_ref, sub_ref, val_ref, x_ref, out_ref,
+                    *, m: int):
+    t = pl.program_id(0)
+    out_ref[:] = _gather_mul(win_ref, lane_ref, sub_ref, val_ref, x_ref,
+                             t, m=m)
+
+
+def xch_mul(win, lane, sub, val, x_table, m: int, T: int = 64):
+    """Pass-1: products (H, 128) = val * x[window-gather], written linearly.
+
+    win:     (H,) int32 prefetched — x window base col-block per stream row.
+    lane/sub:(H, 128) int8; val: (H, 128) values.
+    x_table: (CB, 128) values, VMEM-resident for the whole pass.
+    """
+    h = lane.shape[0]
+    n_steps = h // T
+    spec8 = lambda: pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_xch_mul_kernel, m=m),
+        out_shape=jax.ShapeDtypeStruct((h, LANES), val.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_steps,),
+            in_specs=[
+                spec8(), spec8(), spec8(),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=_vmem_params(
+            x_table, T * LANES * (2 + 2 * val.dtype.itemsize), 0),
+        interpret=_use_interpret(),
+    )(win, lane, sub, val, x_table)
+
+
+def _xch_route_kernel(uids_ref, cs_ref, win_ref, lane_ref, sub_ref, hm_ref,
+                      idx_ref, prod_ref, out_ref, *, m: int, planes: int):
+    t = pl.program_id(0)
+
+    first = jnp.logical_or(
+        t == 0, uids_ref[jnp.maximum(t, 1)] != uids_ref[jnp.maximum(t, 1) - 1])
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    T = lane_ref.shape[0]
+    # window-gather the products (prod_ref block = this step's source chunk)
+    wins = [prod_ref[0, pl.ds(win_ref[t * T + r], m), :] for r in range(T)]
+    ws = jnp.concatenate(wins, axis=0) if T > 1 else wins[0]
+    lane = lane_ref[:].astype(jnp.int32)
+    if m == 1:
+        g = jnp.take_along_axis(ws, lane, axis=1)
+    else:
+        lane_m = jnp.broadcast_to(lane[:, None, :], (T, m, LANES)
+                                  ).reshape(T * m, LANES)
+        tk = jnp.take_along_axis(ws, lane_m, axis=1).reshape(T, m, LANES)
+        sub = sub_ref[:].astype(jnp.int32)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (T, m, LANES), 1)
+        g = jnp.sum(jnp.where(srow == sub[:, None, :], tk, 0.0), axis=1)
+
+    w = _run_totals(g, hm_ref[:])
+
+    outs = []
+    for sigma in range(planes):
+        e = idx_ref[sigma].astype(jnp.int32)
+        valid = e >= 0
+        picked = jnp.take_along_axis(w, jnp.where(valid, e, 0), axis=1)
+        outs.append(jnp.sum(jnp.where(valid, picked, 0.0), axis=0,
+                            keepdims=True))
+    out_ref[:] += jnp.concatenate(outs, axis=0)
+
+
+def xch_route(uids, cs, win, lane, sub, hm1, idx, prod3, nb: int,
+              m: int, planes: int, T: int = 32):
+    """Pass-2: gather products through sliding windows, reduce runs, σ-route.
+
+    uids:  (n_steps,) int32 prefetched — call-local compact bucket per step,
+           non-decreasing.
+    cs:    (n_steps,) int32 prefetched — source chunk per step.
+    win:   (H,) int32 prefetched — chunk-local product-row window base.
+    lane/sub/hm1: (H, 128) int8.  idx: (planes, H, 128) int8 σ-plane
+           end-lanes, −1 masked.
+    prod3: (n_chunks, P1, 128) values — pass-1 products; block (1, P1, 128)
+           selected by cs[t] (re-DMA'd only when the chunk changes).
+    Returns (nb·planes, 128).
+    """
+    h = lane.shape[0]
+    n_steps = h // T
+    p1 = prod3.shape[1]
+    spec8 = lambda: pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_xch_route_kernel, m=m, planes=planes),
+        out_shape=jax.ShapeDtypeStruct((nb * planes, LANES), prod3.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_steps,),
+            in_specs=[
+                spec8(), spec8(), spec8(),
+                pl.BlockSpec((planes, T, LANES), lambda t, *_: (0, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p1, LANES), lambda t, u, c, w: (c[t], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((planes, LANES),
+                                   lambda t, u, c, w: (u[t], 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=_vmem_params_bytes(
+            2 * p1 * LANES * prod3.dtype.itemsize,     # 2 chunk blocks live
+            T * LANES * (3 + planes),
+            nb * planes * LANES * prod3.dtype.itemsize),
+        interpret=_use_interpret(),
+    )(uids, cs, win, lane, sub, hm1, idx, prod3)
