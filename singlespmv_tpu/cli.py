@@ -196,6 +196,12 @@ def cmd_sweep(args) -> int:
                      quick=args.quick)
 
 
+def _cmd_calibrate():
+    from .harness.calibrate import main as cal_main
+
+    cal_main()
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="singlespmv_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -252,6 +258,10 @@ def main(argv=None) -> int:
                    help="natural: subset of matrix names")
     p.add_argument("--no-download", action="store_true")
     p.set_defaults(fn=cmd_suite)
+
+    p = sub.add_parser("calibrate",
+                       help="measure chip constants -> chip_constants.json")
+    p.set_defaults(fn=lambda a: (_cmd_calibrate(), 0)[1])
 
     p = sub.add_parser("sweep", help="run a configuration sweep (eval_sbatch analog)")
     p.add_argument("--todo", required=True, help="sweep table CSV")

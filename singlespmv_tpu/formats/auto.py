@@ -29,11 +29,14 @@ from . import css as css_mod
 from . import dense as dense_mod
 from . import dia as dia_mod
 
-# Measured machine constants (TPU v5e; conservative).
-HBM_BPS = 700e9          # streamed bytes/s achieved
-SCATTER_RATE = 0.14e9    # XLA gather/scatter elements/s
-LANE_GATHER_RATE = 5e9   # fused CSS kernel stream elements/s (gather+scan)
-MXU_FLOPS = 40e12        # effective f32 batched-matmul flops/s
+# Measured machine constants — from core/chipconst (calibration file when
+# harness.calibrate has run on the attached chip; v5e literals otherwise).
+from ..core import chipconst as _cc
+
+HBM_BPS = _cc.get("hbm_bps")               # streamed bytes/s achieved
+SCATTER_RATE = _cc.get("scatter_rate")     # XLA gather/scatter elements/s
+LANE_GATHER_RATE = _cc.get("lane_gather_rate")   # fused CSS stream elem/s
+MXU_FLOPS = _cc.get("mxu_flops")           # effective f32 matmul flops/s
 
 
 def _stats(coo: COOMatrix, cfg: Config):

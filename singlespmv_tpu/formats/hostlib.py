@@ -64,7 +64,6 @@ class HostLibState:
 
 
 def convert(coo: COOMatrix, cfg: Config) -> HostLibState:
-    import jax.numpy as jnp
     import scipy.sparse as sp
 
     dt = cfg.np_dtype
@@ -79,7 +78,7 @@ def convert(coo: COOMatrix, cfg: Config) -> HostLibState:
 
     return HostLibState(n_row=coo.n_row, n_col=coo.n_col, nnz=coo.nnz,
                         handle=handle, dtype_name=np.dtype(dt).name,
-                        dummy=jax.device_put(jnp.zeros((1,), dt),
+                        dummy=jax.device_put(np.zeros((1,), dt),
                                              jax.devices("cpu")[0]))
 
 

@@ -57,17 +57,19 @@ SLOT_MEM_CAP = 10 << 30    # bytes of slot arrays a state may allocate —
 #                            pad ~6) needs an 8.2 GB unit-mode state and fell
 #                            to the 0.11 GFLOPS csr fallback under the old
 #                            6 GB cap
-# measured per-grid-step cost model, TPU v5e — fitted on the σ-plane kernel
-# across the 8-plane and 16-plane bench runs (scripts/bench_slab.py), route
+# measured per-grid-step cost model — fitted on the σ-plane kernel across
+# the 8-plane and 16-plane bench runs (scripts/bench_slab.py), route
 # constants re-fitted r3 on the stomach blk-k grid (results in git log):
 # step ≈ FIXED + slots·(BASE + route + SEL·m), route per mode below.
-STEP_FIXED_S = 0.35e-6
-BASE_SLOT_S = 0.015e-9
-ROUTE_SLOT_S = 0.004e-9    # unit mode, per σ-plane (gather + mask + reduce)
-SEL_SLOT_S = 0.002e-9      # per window member (one-hot select; r3 measured
-#                            0.0017/m on the stomach m=4→8 delta)
-BLK_ROUTE_S = 0.013e-9     # blk mode, per kblk plane: pick + one-hot build +
-#                            MXU matmul (r3 measured 0.013/pick, k2→k4 delta)
+# r4: constants come from core/chipconst (results/chip_constants.json when
+# harness.calibrate has run on the attached chip; v5e literals otherwise).
+from ..core import chipconst as _cc
+
+STEP_FIXED_S = _cc.get("step_fixed_s")
+BASE_SLOT_S = _cc.get("base_slot_s")
+ROUTE_SLOT_S = _cc.get("route_slot_s")   # unit mode, per σ-plane
+SEL_SLOT_S = _cc.get("sel_slot_s")       # per window member (one-hot select)
+BLK_ROUTE_S = _cc.get("blk_route_s")     # blk mode, per kblk plane
 BLK_MXU_S = 0.0003e-9      # blk mode, per span plane (MXU one-hot width)
 
 
@@ -223,7 +225,7 @@ def _mode_cost(mode, planes, m, h, slots, t, extra_s, kblk=1):
     else:
         route = kblk * (BLK_ROUTE_S + planes * BLK_MXU_S)
         bps = 8 + kblk
-    dma = slots * bps / 700e9          # HBM stream floor
+    dma = slots * bps / _cc.get("hbm_bps")   # HBM stream floor
     compute = slots * (BASE_SLOT_S + route + m * SEL_SLOT_S)
     return extra_s + (h // t) * STEP_FIXED_S + max(dma, compute)
 

@@ -56,14 +56,16 @@ M_MAX = 120                 # int8 sub index headroom
 CHUNK_STEPS = 40_000        # steps per pallas_call (SMEM prefetch ≤ 1 MB:
 #                             uids + cs (4 B/step) + win2 (4 B/stream row))
 
-# measured-rate cost model (TPU v5e; slab kernel family constants — the xch
-# kernels share the gather/select/route building blocks). Re-fit after the
-# first chip run (scripts/bench_xch.py).
-STEP_FIXED_S = 0.35e-6
-BASE_SLOT_S = 0.015e-9
-SEL_SLOT_S = 0.002e-9       # per window member per slot (one-hot select)
-ROUTE_SLOT_S = 0.004e-9     # per σ-plane (pick + mask + reduce)
-HBM_BPS = 700e9
+# measured-rate cost model (slab kernel family constants — the xch kernels
+# share the gather/select/route building blocks).  Constants come from
+# core/chipconst (results/chip_constants.json after harness.calibrate).
+from ..core import chipconst as _cc
+
+STEP_FIXED_S = _cc.get("step_fixed_s")
+BASE_SLOT_S = _cc.get("base_slot_s")
+SEL_SLOT_S = _cc.get("sel_slot_s")      # per window member per slot
+ROUTE_SLOT_S = _cc.get("route_slot_s")  # per σ-plane (pick + mask + reduce)
+HBM_BPS = _cc.get("hbm_bps")
 
 
 @pytree_dataclass(meta=("n_row", "n_col", "nnz", "m1", "m2", "t1", "t2",

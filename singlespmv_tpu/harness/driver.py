@@ -129,13 +129,17 @@ def run_benchmark(
 
     if x is None:
         x = create_random_vector(coo.n_col)  # deterministic, seed 3 (main.cpp:18)
-    xd = jax.numpy.asarray(np.asarray(x, dtype=cfg.np_dtype))
     # host-library baselines (hostlib/mkl) pin themselves to the CPU device:
     # jit follows input placement, so the whole benchmark loop runs host-side
-    # — the reference's mkl_dcsrmv never ran on the accelerator either
+    # — the reference's mkl_dcsrmv never ran on the accelerator either.
+    # Place x on the target device DIRECTLY (staging through the default
+    # accelerator would add a device->host transfer per run).
     pref_dev = getattr(formats.get_format(cfg.format), "PREFERRED_DEVICE", None)
+    x_host = np.asarray(x, dtype=cfg.np_dtype)
     if pref_dev is not None:
-        xd = jax.device_put(xd, jax.devices(pref_dev)[0])
+        xd = jax.device_put(x_host, jax.devices(pref_dev)[0])
+    else:
+        xd = jax.numpy.asarray(x_host)
 
     # --- OptimizeProblem (format conversion), timed (CSR5 reports this too) ---
     # With format=auto, a candidate that converts fine can still OOM/crash at
