@@ -16,11 +16,19 @@ def log(m):
     print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
 
 
+DEADLINE = time.time() + float(os.environ.get("PROBE_BUDGET_S", "1500"))
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from singlespmv_tpu.ops.pallas.xch import xch_mul, xch_route
+
+    # canary: verify the tunnel readback path is alive before real work
+    t0 = time.time()
+    float(np.asarray(jnp.ones((8,)))[0])
+    log(f"canary readback ok in {time.time() - t0:.1f}s")
 
     H = 32 * 1024               # stream rows -> 4.2 M slots
     CB = 8192                   # x table 4 MB
@@ -29,26 +37,40 @@ def main():
     def sync(x):
         return float(jax.device_get(jax.numpy.ravel(x)[0]))
 
-    def bench2(fn, args, n_slots, loop=24):
-        """dispatch-corrected: time(loop) - time(loop/2).  Arrays are REAL
-        jit arguments — a zero-arg closure would embed them as constants and
-        hang the tunnel shipping the executable."""
-        fn_j = jax.jit(fn)
-        sync(fn_j(*args))
+    def bench2(fn, args, n_slots, perturb_idx, loop=64):
+        """Chained ON-DEVICE loop (lax.fori_loop, out[0]-perturbed input so
+        XLA cannot hoist), marginal-difference timing — a host loop with a
+        readback per call measures the ~25 ms tunnel RPC, not the kernel."""
+
+        def run_n(a, n):
+            def body(i, a):
+                out = fn(*a)
+                s = jnp.ravel(out)[0] * jnp.asarray(1e-38, out.dtype)
+                a = list(a)
+                a[perturb_idx] = a[perturb_idx] + s.astype(
+                    a[perturb_idx].dtype)
+                return tuple(a)
+
+            return jax.lax.fori_loop(0, n, body, tuple(a))[perturb_idx]
+
+        run_j = jax.jit(run_n)
+        sync(run_j(args, 1))
+        half = loop // 2
         t0 = time.time()
-        for _ in range(loop // 2):
-            sync(fn_j(*args))
+        sync(run_j(args, half))
         t1 = time.time()
-        for _ in range(loop):
-            sync(fn_j(*args))
+        sync(run_j(args, loop))
         t2 = time.time()
         d = (t2 - t1) - (t1 - t0)
-        per = d / (loop - loop // 2)
+        per = d / (loop - half) if d > 0 else (t2 - t0) / (loop + half)
         return per / n_slots * 1e9
 
     log("=== xch_mul: ns/slot vs (m, T) ===")
     for T in (32, 64, 128):
         for m in (1, 2, 4, 8, 16, 32):
+            if time.time() > DEADLINE:
+                log("budget exhausted; exiting gracefully")
+                return
             win = rng.integers(0, CB - m, H).astype(np.int32)
             lane = rng.integers(0, 128, (H, 128)).astype(np.int8)
             sub = rng.integers(0, m, (H, 128)).astype(np.int8)
@@ -56,7 +78,7 @@ def main():
             xt = rng.uniform(-1, 1, (CB, 128)).astype(np.float32)
             args = [jnp.asarray(a) for a in (win, lane, sub, val, xt)]
             ns = bench2(lambda w, l, s, v, x: xch_mul(w, l, s, v, x, m, T),
-                        args, H * 128)
+                        args, H * 128, perturb_idx=3)
             log(f"mul  T={T:3d} m={m:3d}: {ns:.4f} ns/slot")
 
     log("=== xch_route: ns/slot vs (m, planes, T) ===")
@@ -64,6 +86,9 @@ def main():
     for T in (32, 64):
         for planes in (8, 16):
             for m in (1, 4, 8, 16, 32):
+                if time.time() > DEADLINE:
+                    log("budget exhausted; exiting gracefully")
+                    return
                 n_steps = H // T
                 nb = max(n_steps // 8, 1)       # 8 steps per bucket
                 uids = np.repeat(np.arange(nb), 8)[:n_steps].astype(np.int32)
@@ -87,7 +112,7 @@ def main():
                 ns = bench2(
                     lambda u, c, w, l, s, h, i, p, nb=nb, m=m, pp=planes,
                     T=T: xch_route(u, c, w, l, s, h, i, p, nb, m, pp, T),
-                    args, H * 128)
+                    args, H * 128, perturb_idx=7)
                 log(f"route T={T:3d} planes={planes:2d} m={m:3d}: "
                     f"{ns:.4f} ns/slot")
 

@@ -37,6 +37,11 @@ class Config:
 
     auto_exclude: tuple = ()        # auto planner: formats to skip (driver
     #                                 retry path after a device OOM/crash)
+    spmm_b: int = 0                 # auto planner: plan for SpMM with a
+    #                                 B-column panel (0 = plan for SpMV).
+    #                                 A dense panel amortizes the sparse
+    #                                 index streams, flipping block-structured
+    #                                 matrices to the MXU formats (bsr/dense).
 
     # --- numerics ---
     dtype: str = "float32"          # value dtype on device: float32|float64|bfloat16

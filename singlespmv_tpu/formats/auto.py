@@ -163,14 +163,33 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
     # residual at 0.03 GFLOPS while whole-matrix slab ran 1.86).
     from . import hyb as hyb_mod
 
+    # SpMM-aware planning: a B-column dense panel amortizes the sparse index
+    # streams; the MXU formats (dense/bsr) grow only by the panel flops and
+    # the X gather, while vmap-based formats pay the full B× (SURVEY §7.6
+    # "x→(nCol,B) panel — MXU path").
+    if cfg.spmm_b and cfg.spmm_b > 1:
+        b = cfg.spmm_b
+        for k in list(costs):
+            if k == "dense":
+                costs[k] = (dense_elems * vsz / HBM_BPS
+                            + dense_elems * b * 2.0 / MXU_FLOPS)
+            elif k == "bsr":
+                costs[k] = (blocks * bm * bn * vsz / HBM_BPS      # A once
+                            + blocks * bn * b * vsz / HBM_BPS     # X gather
+                            + blocks * bm * bn * b * 2.0 / MXU_FLOPS
+                            + blocks * 1e-8)
+            else:
+                costs[k] = costs[k] * b
+
     if not _inner:
+        bscale = max(cfg.spmm_b, 1)     # hyb runs vmap spmm: B× both parts
         est_h = hyb_mod.estimate(coo, cfg)
         if est_h["feasible"]:
             if est_h["resid_nnz"] == 0:
                 # pure-diagonal matrix: plain dia covers it; only offer hyb
                 # when dia itself is infeasible (peel subset under the guard)
                 if "dia" not in costs:
-                    costs["hyb"] = est_h["dia_sec"]
+                    costs["hyb"] = bscale * est_h["dia_sec"]
             else:
                 peel_offs, _ = hyb_mod.plan_peel(coo, cfg)
                 _, rest = hyb_mod._split(coo, peel_offs, cfg)
@@ -189,7 +208,7 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
                     # PR02R/para-4 -> hyb; stomach picks hyb at a measured
                     # 5% loss).  A flat real/est factor was tried and
                     # rejected: it flips para-4 to slab, a 13% loss.
-                    costs["hyb"] = est_h["dia_sec"] + rbest + 80e-6
+                    costs["hyb"] = bscale * est_h["dia_sec"] + rbest + 80e-6
     return costs
 
 

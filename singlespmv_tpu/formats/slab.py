@@ -698,10 +698,56 @@ def spmv(state: SlabState, x):
     return y2.reshape(-1)[:n]
 
 
-def spmm(state: SlabState, X):
-    import jax
+PANEL_B_MAX = 32           # unit-mode panel kernel: unrolls B in-kernel
 
-    return jax.vmap(spmv, in_axes=(None, 1), out_axes=1)(state, X)
+
+def spmm(state: SlabState, X):
+    """SpMM panel path (unit mode): one kernel pass reads the index/value
+    streams once for all B columns (a vmap re-streams ~15 B/slot per column
+    and pays the per-step fixed cost B times).  blk mode / oversized panels
+    fall back to the vmap."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pallas as pallas_pkg
+
+    B = X.shape[1]
+    table_bytes = state.cb_pad * LANES * X.dtype.itemsize
+    if (state.mode != "unit" or state.nnz == 0 or state.n_units == 0
+            or B < 2 or B > PANEL_B_MAX
+            or B * table_bytes > X_TABLE_CAP
+            or not pallas_pkg.supports(X.dtype)):
+        return jax.vmap(spmv, in_axes=(None, 1), out_axes=1)(state, X)
+    from ..ops.pallas.slab import slab_spmm
+
+    xp = jnp.zeros((B, state.cb_pad * LANES), X.dtype)
+    xp = xp.at[:, : state.n_col].set(X.T)
+    if state.hub_cols is not None:
+        app = jnp.take(X, state.hub_cols, axis=0)          # (n_hub, B)
+        xp = xp.at[:, state.hub_off: state.hub_off + app.shape[0]].set(app.T)
+    xp = xp.reshape(B, state.cb_pad, LANES)
+
+    outs = [slab_spmm(u, w, la, su, va, h1, ix, xp, nu_c, state.m,
+                      state.t_step)
+            for u, w, la, su, va, h1, ix, nu_c in zip(
+                state.uids, state.win, state.lane, state.sub, state.val,
+                state.hm1, state.idx, state.chunk_nu)]
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    outv = out.reshape(state.n_units, B, state.planes * LANES)
+    if state.planes == 8:
+        yu = outv                                          # (nu, B, 1024)
+    else:
+        out4 = outv.reshape(state.n_units, B, 2, UNIT_ROWS)
+        ok = (state.lo_mask > 0)[:, None, :]               # (nu, 1, 1)
+        zero = jnp.zeros((), X.dtype)
+        yu = jnp.where(ok, out4[:, :, 0, :], zero)
+        hi = jnp.where(ok, out4[:, :, 1, :], zero)
+        yu = yu + jnp.concatenate(
+            [jnp.zeros((1, B, UNIT_ROWS), yu.dtype), hi[:-1]], axis=0)
+    nu_tot = cdiv(max(state.n_row, 1), UNIT_ROWS)
+    y2 = jnp.zeros((nu_tot, B, UNIT_ROWS), X.dtype)
+    y2 = y2.at[state.unit_ids].set(yu, mode="drop", unique_indices=True)
+    return y2.transpose(0, 2, 1).reshape(-1, B)[: state.n_row]
 
 
 # ----------------------------------------------------------------- reports ---

@@ -56,15 +56,20 @@ M_MAX = 120                 # int8 sub index headroom
 CHUNK_STEPS = 40_000        # steps per pallas_call (SMEM prefetch ≤ 1 MB:
 #                             uids + cs (4 B/step) + win2 (4 B/stream row))
 
-# measured-rate cost model (slab kernel family constants — the xch kernels
-# share the gather/select/route building blocks).  Constants come from
-# core/chipconst (results/chip_constants.json after harness.calibrate).
+# measured-rate cost model, fitted on the r4 chip microbench
+# (scripts/probe_xch_kernel.py, on-device chained loops, TPU v5e):
+#   mul   T=64..128, m=1..32:  0.01-0.13 ns/slot  (fixed ~0.15 us/step)
+#   route T=32..64, p=8..16:   0.10-0.27 ns/slot  (fixed ~0.45 us/step,
+#                               ~0.003 ns/member, ~0.005 ns/plane)
+# Shared rates come from core/chipconst (harness.calibrate refreshes them);
+# the per-kernel step-fixed costs are xch-local fits.
 from ..core import chipconst as _cc
 
-STEP_FIXED_S = _cc.get("step_fixed_s")
-BASE_SLOT_S = _cc.get("base_slot_s")
-SEL_SLOT_S = _cc.get("sel_slot_s")      # per window member per slot
-ROUTE_SLOT_S = _cc.get("route_slot_s")  # per σ-plane (pick + mask + reduce)
+MUL_FIXED_S = 0.15e-6
+ROUTE_FIXED_S = 0.45e-6
+BASE_SLOT_S = 0.012e-9
+SEL_SLOT_S = 0.003e-9                   # per window member per slot
+ROUTE_SLOT_S = 0.005e-9                 # per σ-plane (pick + mask + reduce)
 HBM_BPS = _cc.get("hbm_bps")
 
 
@@ -127,20 +132,21 @@ def _span_quantiles(sorted_keys, group_starts, qs=(0.5, 0.75, 0.9)):
     return sorted(set(out))
 
 
-def _best_walk(keys, starts, t, per_slot_ns, pad_h, m_override=None,
-               m_cap=M_MAX):
-    """Walk at candidate window sizes, pick the one minimizing the measured
-    step-cost model: steps·FIXED + padded_slots·per_slot_ns(m)."""
+def _best_walk(keys, starts, t_cands, fixed_s, per_slot_s, pad_h,
+               m_override=None, m_cap=M_MAX):
+    """Walk at candidate window sizes, pick the (m, t) minimizing the
+    measured step-cost model: steps·fixed + padded_slots·per_slot_s(m)."""
     cands = [min(m_override, m_cap)] if m_override else \
         [min(m, m_cap) for m in _span_quantiles(keys, starts[1:-1])]
     best = None
     for m in sorted(set(cands)):
         sizes, bases, grows = _walk(keys, starts, m)
-        h = pad_h(grows, t)
-        sec = (h / t) * STEP_FIXED_S + h * LANES * per_slot_ns(m)
-        if best is None or sec < best[0]:
-            best = (sec, m, sizes, bases, grows)
-    return best[1], best[2], best[3], best[4]
+        for t in t_cands:
+            h = pad_h(grows, t)
+            sec = (h / t) * fixed_s + h * LANES * per_slot_s(m)
+            if best is None or sec < best[0]:
+                best = (sec, m, t, sizes, bases, grows)
+    return best[1], best[2], best[3], best[4], best[5]
 
 
 def estimate(coo: COOMatrix, cfg: Config) -> dict:
@@ -162,15 +168,21 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
         k_slots = int(np.clip(n_c / m_bal, 16 * LANES, P1_CAP_ROWS * LANES))
         m1 = int(np.clip(cdiv(n_c, k_slots), 1, M_MAX))
         m2 = int(np.clip(round(k_slots * n_r / (scope * nnz) + 0.5), 1, M_MAX))
-        t1, t2 = 64, 32
-        slots = 1.12 * nnz          # fill ≈ 0.9 both passes (pad model)
-        per_slot = (2 * BASE_SLOT_S + (m1 + m2) * SEL_SLOT_S
-                    + planes * ROUTE_SLOT_S)
-        bytes_per = (np.dtype(cfg.dtype).itemsize + 2    # pass1 val+lane+sub
-                     + 4 + 4                             # product write+read
-                     + 3 + planes)                       # lane2+sub2+hm2+idx
-        fixed = slots / LANES * (1.0 / t1 + 1.0 / t2) * STEP_FIXED_S
-        sec = fixed + max(slots * per_slot, slots * bytes_per / HBM_BPS)
+        t1, t2 = 128, 32
+        # padding: bucket t2-alignment dominates — per (bucket, chunk) group
+        # about t2/2 pad rows; sparse-structure walks add ~10%
+        n_grp = max(n_r / scope, 1.0) + nnz / k_slots
+        slots2 = 1.1 * nnz + n_grp * (t2 / 2) * LANES
+        slots1 = 1.05 * nnz
+        per1 = BASE_SLOT_S + m1 * SEL_SLOT_S
+        per2 = (BASE_SLOT_S + m2 * SEL_SLOT_S + planes * ROUTE_SLOT_S
+                + (3 + planes) / HBM_BPS)
+        sec = (slots1 / LANES / t1 * MUL_FIXED_S
+               + slots2 / LANES / t2 * ROUTE_FIXED_S
+               + slots1 * max(per1, (np.dtype(cfg.dtype).itemsize + 2 + 4)
+                              / HBM_BPS)
+               + slots2 * per2)
+        slots = slots1 + slots2
         cand = {"feasible": True, "est_s": sec, "planes": planes,
                 "k_slots": k_slots, "m1": m1, "m2": m2, "t1": t1, "t2": t2,
                 "slots": int(slots)}
@@ -208,8 +220,9 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
     def _pad1(grows, t):
         return n_chunks * int(cdiv(int(grows.max(initial=1)), t) * t)
 
-    m1, sizes1, bases1, crows1 = _best_walk(
-        cols_s, chunk_starts, t1,
+    m1, t1, sizes1, bases1, crows1 = _best_walk(
+        cols_s, chunk_starts, (32, 64, 128) if not p.get("t1_fix") else
+        (p["t1_fix"],), MUL_FIXED_S,
         lambda m: BASE_SLOT_S + m * SEL_SLOT_S, _pad1,
         m_override=p.get("m1_fix"))
 
@@ -248,9 +261,11 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
     def _pad2(grows, t):
         return int((cdiv_np(grows, t) * t).sum())
 
-    m2, sizes2, bases2, grows2 = _best_walk(
-        src_s, grp_starts, t2,
-        lambda m: (BASE_SLOT_S + m * SEL_SLOT_S + planes * ROUTE_SLOT_S),
+    m2, t2, sizes2, bases2, grows2 = _best_walk(
+        src_s, grp_starts, (32, 64) if not p.get("t2_fix") else
+        (p["t2_fix"],), ROUTE_FIXED_S,
+        lambda m: (BASE_SLOT_S + m * SEL_SLOT_S + planes * ROUTE_SLOT_S
+                   + (3 + planes) / HBM_BPS * 1e0),
         _pad2, m_override=p.get("m2_fix"), m_cap=min(M_MAX, p1))
 
     # pad each (bucket, chunk) group to t2 stream rows (steps must stay in

@@ -167,6 +167,85 @@ def _slab_blk_kernel(uids_ref, win_ref, lane_ref, sub_ref, val_ref, hm1_ref,
                               ).astype(w.dtype)
 
 
+def _slab_spmm_kernel(uids_ref, win_ref, lane_ref, sub_ref, val_ref, hm1_ref,
+                      idx_ref, x_ref, out_ref, *, m: int, planes: int,
+                      B: int):
+    """Panel variant of _slab_kernel: the index/value streams (lane, sub,
+    val, hm1, idx — ~15 B/slot) are read ONCE for all B panel columns, and
+    the per-step fixed cost amortizes B× (a vmap re-streams everything per
+    column).  The gather/route per column stays VPU work — the MXU panel
+    path for block-structured matrices is formats/bsr.spmm."""
+    t = pl.program_id(0)
+
+    first = jnp.logical_or(
+        t == 0, uids_ref[jnp.maximum(t, 1)] != uids_ref[jnp.maximum(t, 1) - 1])
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    T = lane_ref.shape[0]
+    lane = lane_ref[:].astype(jnp.int32)
+    sub = sub_ref[:].astype(jnp.int32) if m > 1 else None
+    acc = []
+    for b in range(B):
+        wins = [x_ref[b, pl.ds(win_ref[t * T + r], m), :] for r in range(T)]
+        ws = jnp.concatenate(wins, axis=0) if T > 1 else wins[0]
+        if m == 1:
+            g = jnp.take_along_axis(ws, lane, axis=1)
+        else:
+            lane_m = jnp.broadcast_to(lane[:, None, :], (T, m, LANES)
+                                      ).reshape(T * m, LANES)
+            tk = jnp.take_along_axis(ws, lane_m, axis=1).reshape(T, m, LANES)
+            srow = jax.lax.broadcasted_iota(jnp.int32, (T, m, LANES), 1)
+            g = jnp.sum(jnp.where(srow == sub[:, None, :], tk, 0.0), axis=1)
+        w = _run_totals(val_ref[:] * g, hm1_ref[:])
+        outs = []
+        for sigma in range(planes):
+            e = idx_ref[sigma].astype(jnp.int32)
+            valid = e >= 0
+            picked = jnp.take_along_axis(w, jnp.where(valid, e, 0), axis=1)
+            outs.append(jnp.sum(jnp.where(valid, picked, 0.0), axis=0,
+                                keepdims=True))
+        acc.append(jnp.concatenate(outs, axis=0))
+    out_ref[:] += jnp.concatenate(acc, axis=0)
+
+
+def slab_spmm(uids, win, lane, sub, val, hm1, idx, x_panel, nu: int,
+              m: int, T: int = 64):
+    """Panel SpMM for the unit-mode slab layout.
+
+    x_panel: (B, CB, 128); returns (nu·B·planes, 128) — block u rows
+    [b·planes, (b+1)·planes) hold column b's σ-planes."""
+    h = lane.shape[0]
+    n_steps = h // T
+    planes = idx.shape[0]
+    B = x_panel.shape[0]
+    spec8 = lambda: pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_slab_spmm_kernel, m=m, planes=planes, B=B),
+        out_shape=jax.ShapeDtypeStruct((nu * B * planes, LANES), val.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_steps,),
+            in_specs=[
+                spec8(), spec8(), spec8(), spec8(),
+                pl.BlockSpec((planes, T, LANES), lambda t, *_: (0, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((B * planes, LANES),
+                                   lambda t, u, w: (u[t], 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=_vmem_params(
+            x_panel, T * LANES * (3 + val.dtype.itemsize + planes),
+            nu * B * planes * LANES * val.dtype.itemsize),
+        interpret=_use_interpret(),
+    )(uids, win, lane, sub, val, hm1, idx, x_panel)
+
+
 def slab_spmv(uids, win, lane, sub, val, hm1, idx, x_table, nu: int,
               m: int, T: int = 64):
     """Run the fused slab kernel.

@@ -191,3 +191,30 @@ def test_slab_blk_k_modes(label, make, kblk):
     back = to_coo(st, F32)
     np.testing.assert_allclose(back.to_dense(),
                                coo.to_dense().astype(np.float32), rtol=1e-6)
+
+
+@pytest.mark.parametrize("planes", [8, 16])
+def test_slab_spmm_panel_matches_vmap(planes):
+    """Unit-mode SpMM panel kernel (streams read once for all B columns)
+    must equal the per-column vmap bitwise."""
+    from singlespmv_tpu.core import hostmem as hm
+    from singlespmv_tpu.data.generators import powerlaw
+
+    coo = powerlaw(3000, 40000, seed=2)
+    rows0 = coo.row.astype(np.int64)
+    cols0 = coo.col.astype(np.int64)
+    plan = slab_mod._estimate_cols(
+        rows0, cols0, coo.nnz,
+        fixed={"mode": "unit", "kblk": 1, "m": 4, "t": 32, "planes": planes})
+    assert plan["feasible"]
+    plan.update(hub_cols=None, cols_eff=None, hub_off=0)
+    st = slab_mod.convert(coo, F32, plan=plan)
+    assert st.mode == "unit" and st.planes == planes
+    X = np.random.default_rng(0).uniform(size=(coo.n_col, 8)).astype(
+        np.float32)
+    Y = np.asarray(jax.jit(slab_mod.spmm)(st, X))
+    Yv = np.asarray(jax.vmap(slab_mod.spmv, in_axes=(None, 1),
+                             out_axes=1)(st, X))
+    np.testing.assert_array_equal(Y, Yv)
+    ref = coo.to_dense().astype(np.float64) @ X.astype(np.float64)
+    np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-5)

@@ -137,7 +137,7 @@ def test_xch_fill_factor():
     """The engine's reason to exist: pad stays near 1 on scattered giants
     (slab pads 6-16x there).  slots1+slots2 over 2*nnz <= 1.6 on the
     hyper-sparse mix."""
-    coo = _mix(20000, 60000, 9, local_frac=0.2)
+    coo = _mix(80000, 500000, 9, local_frac=0.2)
     st = convert(coo, F32)
     pad = (st.n_slots1 + st.n_slots2) / (2 * coo.nnz)
     assert pad <= 1.6, pad
