@@ -74,8 +74,8 @@ HBM_BPS = _cc.get("hbm_bps")
 
 
 @pytree_dataclass(meta=("n_row", "n_col", "nnz", "m1", "m2", "t1", "t2",
-                        "planes", "n_chunks", "p1", "cb_pad", "n_buckets",
-                        "n_slots1", "n_slots2", "chunk_nb"))
+                        "planes", "span", "n_chunks", "p1", "cb_pad",
+                        "n_buckets", "n_slots1", "n_slots2", "chunk_nb"))
 class XchState:
     n_row: int
     n_col: int
@@ -85,6 +85,9 @@ class XchState:
     t1: int                 # pass-1 stream rows per grid step
     t2: int                 # pass-2 stream rows per grid step
     planes: int             # σ-planes = bucket scope / 128 (8 or 16)
+    span: int               # buckets per out block (2 = slab-style pair:
+    #                         steps may straddle one bucket boundary, host
+    #                         overlap-adds — the ultra-sparse pad fix)
     n_chunks: int
     p1: int                 # product stream rows per chunk (fixed)
     cb_pad: int             # x-table col-blocks
@@ -105,8 +108,13 @@ class XchState:
     lane2: object           # k × (H2_c, 128) int8
     sub2: object            # k × (H2_c, 128) int8
     hm2: object             # k × (H2_c, 128) int8
-    idx2: object            # k × (planes, H2_c, 128) int8 — σ-plane end-lanes
+    idx2: object            # k × (span·planes, H2_c, 128) int8 — σ-plane
+    #                         end-lanes, −1 masked
     bucket_ids: object      # (n_buckets,) int32 — original bucket ids
+    lo_mask: object = None  # span=2: (n_buckets, 1) dtype — 0 where the
+    #                         bucket is never a step's first (its block is
+    #                         unwritten garbage; contributions arrive via
+    #                         the previous block's hi half)
 
 
 # ---------------------------------------------------------------- planning ---
@@ -258,27 +266,64 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
     grp = buck_s * np.int64(n_chunks + 1) + chunk_of
     gb = np.flatnonzero(np.concatenate([[True], grp[1:] != grp[:-1]]))
     grp_starts = np.append(gb, nnz)
-    def _pad2(grows, t):
-        return int((cdiv_np(grows, t) * t).sum())
+    grp_bucket0 = buck_s[gb]
+    grp_chunk0 = chunk_of[gb].astype(np.int64)
 
-    m2, t2, sizes2, bases2, grows2 = _best_walk(
-        src_s, grp_starts, (32, 64) if not p.get("t2_fix") else
-        (p["t2_fix"],), ROUTE_FIXED_S,
-        lambda m: (BASE_SLOT_S + m * SEL_SLOT_S + planes * ROUTE_SLOT_S
-                   + (3 + planes) / HBM_BPS * 1e0),
-        _pad2, m_override=p.get("m2_fix"), m_cap=min(M_MAX, p1))
+    def _pad_span(grows, t, span):
+        """Pad group stream-row counts: steps never cross a chunk boundary
+        and touch at most ``span`` consecutive compact buckets (slab's
+        pair-span: the out block covers the pair, host overlap-adds)."""
+        pads = np.zeros(len(grows), np.int64)
+        cur = 0
+        straddle_step = -1
+        for g, r in enumerate(grows):
+            if g > 0 and cur % t != 0:
+                if grp_chunk0[g] != grp_chunk0[g - 1] or span == 1:
+                    pads[g - 1] += t - (cur % t)
+                    cur += t - (cur % t)
+                    straddle_step = -1
+                else:
+                    s = cur // t
+                    if s == straddle_step:      # a 3rd bucket in one step
+                        pads[g - 1] += t - (cur % t)
+                        cur += t - (cur % t)
+                    else:
+                        straddle_step = s
+            cur += int(r)
+        if cur % t:
+            pads[-1] += t - (cur % t)
+        return grows + pads
 
-    # pad each (bucket, chunk) group to t2 stream rows (steps must stay in
-    # one out block AND one source block)
-    grows_pad = cdiv_np(grows2, t2) * t2
+    span_cands = (1, 2) if not p.get("span_fix") else (p["span_fix"],)
+    t2_cands = (32, 64) if not p.get("t2_fix") else (p["t2_fix"],)
+
+    # walk per m candidate (span/t-independent), then pick (m, t, span) by
+    # the fitted step-cost model
+    m_cands = [p["m2_fix"]] if p.get("m2_fix") else \
+        _span_quantiles(src_s, grp_starts[1:-1])
+    best = None
+    for m_c in sorted(set(min(m, M_MAX, p1) for m in m_cands)):
+        wk = _walk(src_s, grp_starts, m_c)
+        for t_c in t2_cands:
+            for sp_c in span_cands:
+                h_c = int(_pad_span(wk[2], t_c, sp_c).sum())
+                per = (BASE_SLOT_S + m_c * SEL_SLOT_S
+                       + sp_c * planes * ROUTE_SLOT_S
+                       + (3 + sp_c * planes) / HBM_BPS)
+                sec = (h_c / t_c) * ROUTE_FIXED_S + h_c * LANES * per
+                if best is None or sec < best[0]:
+                    best = (sec, m_c, t_c, sp_c, wk)
+    _, m2, t2, span, (sizes2, bases2, grows2) = best
+
+    grows_pad = _pad_span(grows2, t2, span)
     h2 = int(grows_pad.sum())
     gstart = np.concatenate([[0], np.cumsum(grows_pad)[:-1]])
     wstart2 = np.concatenate([[0], np.cumsum(grows2)[:-1]])
     gidx = np.repeat(hm.arange(len(grows2)), grows2)
     final2 = gstart[gidx] + (hm.arange(len(sizes2)) - wstart2[gidx])
 
-    grp_bucket = buck_s[gb]                       # per walk GROUP
-    grp_chunk = chunk_of[gb].astype(np.int64)
+    grp_bucket = grp_bucket0                      # per walk GROUP
+    grp_chunk = grp_chunk0
 
     # chunk-local window base, clamped so [win, win+m2) stays in the block
     base_loc = bases2 - grp_chunk[gidx] * p1
@@ -315,24 +360,33 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
     end[:-1] = new_run[1:]
     end[-1] = True
     r_run, sr_run, e_lane = rows_f[end], sr2[end], li2[end]
-    sigma = (r_run & np.int64(scope - 1)) >> 7
-    l_run = r_run & np.int64(LANES - 1)
-    idx2 = hm.full((planes, h2, LANES), -1, np.int8)
-    idx2[sigma, sr_run, l_run] = e_lane.astype(np.int8)
 
-    # per-step bucket (compact) + source chunk
+    # per-step first group / compact bucket
     n_steps = h2 // t2
     grp_of_frow = np.repeat(hm.arange(len(grows_pad)),
                             grows_pad.astype(np.int64))
     g_step = grp_of_frow[::t2]
-    buck_step = grp_bucket[g_step]
-    chunk_step = grp_chunk[g_step].astype(np.int32)
-    ub, binv = np.unique(buck_step, return_inverse=True)
-    uids = binv.astype(np.int32)                  # compact, non-decreasing
+    ub, bidx_g = np.unique(grp_bucket, return_inverse=True)
     n_buckets = len(ub)
+    uids = bidx_g[g_step].astype(np.int32)        # compact, non-decreasing
+    chunk_step = grp_chunk[g_step].astype(np.int32)
+    written = hm.zeros(n_buckets, np.bool_)
+    written[uids.astype(np.int64)] = True
+    lo_mask = written.astype(dtype).reshape(n_buckets, 1)
+
+    # σ: span-local — off = run's compact bucket − step's first bucket
+    grp_run = grp_of_frow[sr_run]                 # group per run end
+    off_run = bidx_g[grp_run] - uids[sr_run // t2].astype(np.int64)
+    assert off_run.min(initial=0) >= 0 and \
+        off_run.max(initial=0) < span, \
+        "xch: a grid step spans more buckets than the out block covers"
+    sigma = ((r_run & np.int64(scope - 1)) >> 7) + planes * off_run
+    l_run = r_run & np.int64(LANES - 1)
+    idx2 = hm.full((span * planes, h2, LANES), -1, np.int8)
+    idx2[sigma, sr_run, l_run] = e_lane.astype(np.int8)
 
     # ---- split pass-2 into SMEM-prefetch-sized pallas_calls ----
-    cz = _chunk_steps(uids, n_steps)
+    cz = _chunk_steps(uids, n_steps, n_buckets)
     u_t, c_t, w_t, la_t, su_t, hm_t, ix_t = [], [], [], [], [], [], []
     for s0, s1, u0, _nb in cz:
         r0, r1 = s0 * t2, s1 * t2
@@ -359,7 +413,7 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
     cb_tot = cdiv(max(coo.n_col, 1), LANES)
     return XchState(
         n_row=coo.n_row, n_col=coo.n_col, nnz=nnz, m1=m1, m2=m2, t1=t1,
-        t2=t2, planes=planes, n_chunks=n_chunks, p1=p1,
+        t2=t2, planes=planes, span=span, n_chunks=n_chunks, p1=p1,
         cb_pad=cb_tot + m1, n_buckets=n_buckets,
         n_slots1=h1 * LANES, n_slots2=h2 * LANES,
         chunk_nb=tuple(c[3] for c in cz),
@@ -367,7 +421,8 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
         val1=tuple(va1_t),
         uids2=tuple(u_t), cs2=tuple(c_t), win2=tuple(w_t),
         lane2=tuple(la_t), sub2=tuple(su_t), hm2=tuple(hm_t),
-        idx2=tuple(ix_t), bucket_ids=device_put(ub.astype(np.int32)))
+        idx2=tuple(ix_t), bucket_ids=device_put(ub.astype(np.int32)),
+        lo_mask=device_put(lo_mask))
 
 
 def wslot_starts(sizes):
@@ -378,13 +433,15 @@ def cdiv_np(a, b):
     return -(-a // b)
 
 
-def _chunk_steps(uids, n_steps):
+def _chunk_steps(uids, n_steps, n_buckets):
     """Split pass-2 steps into ≤CHUNK_STEPS chunks, cutting at new-bucket
-    steps.  Returns [(s0, s1, first_bucket, n_buckets_in_chunk)]."""
+    steps.  Returns [(s0, s1, first_bucket, n_buckets_in_chunk)]; the last
+    chunk covers through ``n_buckets`` (with span, a trailing bucket may
+    never be a step's first — its block stays unwritten, lo_mask drops it)."""
     if n_steps == 0:
         return []
     if n_steps <= CHUNK_STEPS:
-        return [(0, n_steps, 0, int(uids[-1]) + 1)]
+        return [(0, n_steps, 0, n_buckets)]
     new_b = np.flatnonzero(np.concatenate([[True], uids[1:] != uids[:-1]]))
     cuts = [0]
     while cuts[-1] + CHUNK_STEPS < n_steps:
@@ -398,7 +455,7 @@ def _chunk_steps(uids, n_steps):
     for i in range(len(cuts) - 1):
         s0, s1 = cuts[i], cuts[i + 1]
         u0 = int(uids[s0])
-        u_next = int(uids[s1]) if s1 < n_steps else int(uids[-1]) + 1
+        u_next = int(uids[s1]) if s1 < n_steps else n_buckets
         out.append((s0, s1, u0, u_next - u0))
     return out
 
@@ -408,7 +465,7 @@ def _empty_state(coo, cfg):
     z8 = lambda *s: device_put(hm.zeros(s, np.int8))
     return XchState(
         n_row=coo.n_row, n_col=coo.n_col, nnz=0, m1=1, m2=1, t1=8, t2=8,
-        planes=8, n_chunks=1, p1=8, cb_pad=1, n_buckets=0,
+        planes=8, span=1, n_chunks=1, p1=8, cb_pad=1, n_buckets=0,
         n_slots1=0, n_slots2=0, chunk_nb=(0,),
         win1=(device_put(hm.zeros(0, np.int32)),),
         lane1=(z8(0, LANES),), sub1=(z8(0, LANES),),
@@ -444,14 +501,26 @@ def _route_phase(state: XchState, prod3):
     from ..ops.pallas.xch import xch_route
 
     n = state.n_row
+    op = state.span * state.planes          # out-block planes
     outs = [xch_route(u, c, w, la, su, h2, ix, prod3,
-                      nb, state.m2, state.planes, state.t2)
+                      nb, state.m2, op, state.t2)
             for u, c, w, la, su, h2, ix, nb in zip(
                 state.uids2, state.cs2, state.win2, state.lane2, state.sub2,
                 state.hm2, state.idx2, state.chunk_nb)]
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-    yb = out.reshape(state.n_buckets, state.planes * LANES)
     scope = state.planes * LANES
+    if state.span == 1:
+        yb = out.reshape(state.n_buckets, scope)
+    else:
+        # pair overlap-add: block b's hi half targets compact bucket b+1;
+        # blocks of never-first buckets are unwritten garbage (lo_mask)
+        out3 = out.reshape(state.n_buckets, state.span, scope)
+        ok = state.lo_mask > 0
+        zero = jnp.zeros((), prod3.dtype)
+        yb = jnp.where(ok, out3[:, 0, :], zero)
+        hi = jnp.where(ok, out3[:, 1, :], zero)
+        yb = yb + jnp.concatenate(
+            [jnp.zeros((1, scope), yb.dtype), hi[:-1]], axis=0)
     nb_tot = cdiv(max(n, 1), scope)
     y2 = jnp.zeros((nb_tot, scope), prod3.dtype)
     y2 = y2.at[state.bucket_ids].set(yb, mode="drop", unique_indices=True)
@@ -487,7 +556,8 @@ def spmm(state: XchState, X):
 
 def report_fields(state: XchState, cfg: Config) -> dict:
     return {"Window1Blocks": state.m1, "Window2Blocks": state.m2,
-            "RoutePlanes": state.planes, "Chunks": state.n_chunks,
+            "RoutePlanes": state.planes, "Span": state.span,
+            "Chunks": state.n_chunks,
             "PadFactor": round((state.n_slots1 + state.n_slots2)
                                / max(2 * state.nnz, 1), 3)}
 
@@ -529,13 +599,14 @@ def to_coo(state: XchState) -> COOMatrix:
     # rows: σ-plane ends + backward run propagation (as slab.to_coo)
     step_of = np.repeat(np.arange(h2 // state.t2), state.t2)
     rows = np.full((h2, LANES), -1, np.int64)
-    for sigma in range(state.planes):
+    for sigma in range(state.span * state.planes):
         e = idx2[sigma]
         valid = e >= 0
         sr_i, l_i = np.nonzero(valid)
         end_lane = e[sr_i, l_i]
-        rr = (bucket_ids[uids[step_of[sr_i]]] * scope
-              + sigma * LANES + l_i)
+        cb = uids[step_of[sr_i]] + sigma // state.planes
+        rr = (bucket_ids[cb] * scope
+              + (sigma % state.planes) * LANES + l_i)
         rows[sr_i, end_lane] = rr
     for j in range(LANES - 2, -1, -1):
         unset = rows[:, j] < 0

@@ -149,3 +149,20 @@ def test_xch_estimate_fields():
     assert est["feasible"] and est["est_s"] > 0
     assert 1 <= est["m1"] <= xch_mod.M_MAX
     assert 1 <= est["m2"] <= xch_mod.M_MAX
+
+
+def test_xch_span_modes_agree():
+    """Forced span=1 vs span=2 must both verify and agree to f32 tolerance."""
+    coo = _mix(5000, 25000, 0)
+    x = np.random.default_rng(5).uniform(size=coo.n_col).astype(np.float32)
+    ys = []
+    for span in (1, 2):
+        p = xch_mod.estimate(coo, F32)
+        p["span_fix"] = span
+        st = xch_mod.convert(coo, F32, plan=p)
+        assert st.span == span
+        y = np.asarray(jax.jit(xch_mod.spmv)(st, x))
+        ok, det = verify_result(coo, x, y, dtype=np.float32)
+        assert ok, f"span={span}: {det}"
+        ys.append(y)
+    np.testing.assert_allclose(ys[0], ys[1], rtol=2e-5, atol=1e-6)
