@@ -53,6 +53,12 @@ LANES = 128
 X_TABLE_CAP = 96 << 20      # VMEM-resident x table bound (v5e, as slab)
 P1_CAP_ROWS = 12288         # chunk product block ≤ 6 MB VMEM (12288·128·4B)
 M_MAX = 120                 # int8 sub index headroom
+M2_CAP = 40                 # route-window cap: the select's VMEM working set
+#                             (T·m·128 f32 ×3) serializes the pipeline past
+#                             this (measured r4: m2=55 ran 2x the model)
+G_GRP = 16                  # compact buckets per out block: out-block
+#                             switches flush the pipeline (~4-7 us each,
+#                             measured r4) — grouping divides them by G
 CHUNK_STEPS = 40_000        # steps per pallas_call (SMEM prefetch ≤ 1 MB:
 #                             uids + cs (4 B/step) + win2 (4 B/stream row))
 
@@ -67,6 +73,7 @@ from ..core import chipconst as _cc
 
 MUL_FIXED_S = 0.15e-6
 ROUTE_FIXED_S = 0.45e-6
+BLOCK_SWITCH_S = 4e-6       # per out/source block change (pipeline flush)
 BASE_SLOT_S = 0.012e-9
 SEL_SLOT_S = 0.003e-9                   # per window member per slot
 ROUTE_SLOT_S = 0.005e-9                 # per σ-plane (pick + mask + reduce)
@@ -94,7 +101,7 @@ class XchState:
     n_buckets: int          # compact (nonempty) buckets
     n_slots1: int
     n_slots2: int
-    chunk_nb: tuple         # compact buckets per pass-2 call chunk
+    chunk_nb: tuple         # bucket G-GROUPS per pass-2 call chunk
     # pass 1 (single pallas_call; win1 prefetch is 4 B/stream row ≤ 1 MB up
     # to 250k rows — chunked like pass 2 when larger)
     win1: object            # k × (H1_c,) int32 — x window base col-block
@@ -115,21 +122,28 @@ class XchState:
     #                         bucket is never a step's first (its block is
     #                         unwritten garbage; contributions arrive via
     #                         the previous block's hi half)
+    gids2: object = None    # k × (S_c,) int32 — call-local bucket G-group
+    #                         per step (out block index)
 
 
 # ---------------------------------------------------------------- planning ---
 
-def _span_quantiles(sorted_keys, group_starts, qs=(0.5, 0.75, 0.9)):
+def _span_quantiles(sorted_keys, group_starts,
+                    qs=(0.3, 0.5, 0.7, 0.85, 0.95)):
     """Candidate window sizes (in 128-blocks) from span quantiles of 128
-    consecutive same-group keys — the walk's cut rate at m = q-span is ~1-q."""
+    consecutive same-group keys — the walk's cut rate at m = q-span is ~1-q.
+    Mixed structures (dense rows + scatter) have strongly bimodal spans, so
+    the grid must be dense enough to land near the cost optimum."""
     if len(sorted_keys) <= 128:
         return [1]
     lag = 127
-    a = sorted_keys[lag:] - sorted_keys[:-lag]
+    # subsample positions on giants: the span distribution converges fast
+    step = max(len(sorted_keys) >> 22, 1)
+    pos = np.arange(0, len(sorted_keys) - lag, step)
+    a = sorted_keys[pos + lag] - sorted_keys[pos]
     # ignore spans that cross a group boundary (the walk cuts there anyway)
-    gi = np.searchsorted(group_starts, np.arange(len(sorted_keys)),
-                         side="right")
-    same = gi[lag:] == gi[:-lag]
+    gi = np.searchsorted(group_starts, pos, side="right")
+    same = gi == np.searchsorted(group_starts, pos + lag, side="right")
     a = a[same]
     if a.size == 0:
         return [1]
@@ -140,21 +154,51 @@ def _span_quantiles(sorted_keys, group_starts, qs=(0.5, 0.75, 0.9)):
     return sorted(set(out))
 
 
+def _sample_groups(keys, starts, stride):
+    """Every ``stride``-th group's key range, with rebuilt boundaries —
+    a structure-preserving subproblem for candidate evaluation."""
+    if stride <= 1 or len(starts) <= stride + 1:
+        return keys, starts
+    segs = [(starts[g], starts[g + 1])
+            for g in range(0, len(starts) - 1, stride)]
+    keys_s = np.concatenate([keys[a:b] for a, b in segs])
+    lens = np.asarray([b - a for a, b in segs], np.int64)
+    starts_s = np.concatenate([[0], np.cumsum(lens)])
+    return keys_s, starts_s
+
+
+SAMPLE_WALK_NNZ = 8_000_000   # candidate walks run on a 1/8 group sample
+#                               past this; only the winner walks in full
+
+
 def _best_walk(keys, starts, t_cands, fixed_s, per_slot_s, pad_h,
-               m_override=None, m_cap=M_MAX):
+               m_override=None, m_cap=M_MAX, extra_cands=()):
     """Walk at candidate window sizes, pick the (m, t) minimizing the
-    measured step-cost model: steps·fixed + padded_slots·per_slot_s(m)."""
-    cands = [min(m_override, m_cap)] if m_override else \
-        [min(m, m_cap) for m in _span_quantiles(keys, starts[1:-1])]
+    measured step-cost model: steps·fixed + padded_slots·per_slot_s(m).
+    On giants the candidates are evaluated on a group sample; the winner
+    gets the one full walk."""
+    if m_override:
+        cands = [min(m_override, m_cap)]
+    else:
+        cands = [min(m, m_cap)
+                 for m in _span_quantiles(keys, starts[1:-1])]
+        cands += [min(max(int(m), 1), m_cap) for m in extra_cands]
+    cands = sorted(set(cands))
+    stride = 8 if (len(keys) > SAMPLE_WALK_NNZ and len(cands) > 1) else 1
+    keys_e, starts_e = _sample_groups(keys, starts, stride)
     best = None
-    for m in sorted(set(cands)):
-        sizes, bases, grows = _walk(keys, starts, m)
+    for m in cands:
+        sizes, bases, grows = _walk(keys_e, starts_e, m)
         for t in t_cands:
-            h = pad_h(grows, t)
+            h = pad_h(grows, t) * stride
             sec = (h / t) * fixed_s + h * LANES * per_slot_s(m)
             if best is None or sec < best[0]:
                 best = (sec, m, t, sizes, bases, grows)
-    return best[1], best[2], best[3], best[4], best[5]
+    m, t = best[1], best[2]
+    if stride > 1:
+        sizes, bases, grows = _walk(keys, starts, m)
+        return m, t, sizes, bases, grows
+    return m, t, best[3], best[4], best[5]
 
 
 def estimate(coo: COOMatrix, cfg: Config) -> dict:
@@ -168,14 +212,17 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
     if cdiv(n_c, LANES) * LANES * np.dtype(cfg.dtype).itemsize > X_TABLE_CAP:
         return {"feasible": False, "est_s": float("inf")}
     best = None
-    for planes in (8, 16):
+    for planes in (8, 16, 32):
         scope = planes * LANES
         q = n_r * n_c / (scope * nnz)
-        m_bal = max(np.sqrt(q), 1.0)
-        # K = slots per chunk; balance m1 ≈ n_c/K vs m2 ≈ K·n_r/(scope·nnz)
-        k_slots = int(np.clip(n_c / m_bal, 16 * LANES, P1_CAP_ROWS * LANES))
+        # skew the balance: the route select is ~2x the mul select per
+        # member (bigger live state), so m1 ≈ 2·m2
+        m2_bal = max(np.sqrt(q / 2.0), 1.0)
+        k_slots = int(np.clip(m2_bal * scope * nnz / n_r,
+                              16 * LANES, P1_CAP_ROWS * LANES))
         m1 = int(np.clip(cdiv(n_c, k_slots), 1, M_MAX))
-        m2 = int(np.clip(round(k_slots * n_r / (scope * nnz) + 0.5), 1, M_MAX))
+        m2 = int(np.clip(round(k_slots * n_r / (scope * nnz) + 0.5), 1,
+                         M2_CAP))
         t1, t2 = 128, 32
         # padding: bucket t2-alignment dominates — per (bucket, chunk) group
         # about t2/2 pad rows; sparse-structure walks add ~10%
@@ -185,8 +232,10 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
         per1 = BASE_SLOT_S + m1 * SEL_SLOT_S
         per2 = (BASE_SLOT_S + m2 * SEL_SLOT_S + planes * ROUTE_SLOT_S
                 + (3 + planes) / HBM_BPS)
+        switches = n_r / scope / G_GRP + 2.0 * nnz / k_slots
         sec = (slots1 / LANES / t1 * MUL_FIXED_S
                + slots2 / LANES / t2 * ROUTE_FIXED_S
+               + switches * BLOCK_SWITCH_S
                + slots1 * max(per1, (np.dtype(cfg.dtype).itemsize + 2 + 4)
                               / HBM_BPS)
                + slots2 * per2)
@@ -226,13 +275,14 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
         [np.searchsorted(g1[o1], np.arange(n_chunks)), [nnz]])
 
     def _pad1(grows, t):
-        return n_chunks * int(cdiv(int(grows.max(initial=1)), t) * t)
+        return len(grows) * int(cdiv(int(grows.max(initial=1)), t) * t)
 
     m1, t1, sizes1, bases1, crows1 = _best_walk(
         cols_s, chunk_starts, (32, 64, 128) if not p.get("t1_fix") else
         (p["t1_fix"],), MUL_FIXED_S,
         lambda m: BASE_SLOT_S + m * SEL_SLOT_S, _pad1,
-        m_override=p.get("m1_fix"))
+        m_override=p.get("m1_fix"),
+        extra_cands=(round(coo.n_col / k_slots) + 1,))
 
     p1 = int(cdiv(int(crows1.max(initial=1)), t1) * t1)
     h1 = n_chunks * p1
@@ -269,16 +319,20 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
     grp_bucket0 = buck_s[gb]
     grp_chunk0 = chunk_of[gb].astype(np.int64)
 
-    def _pad_span(grows, t, span):
+    ub0, bidx0 = np.unique(grp_bucket0, return_inverse=True)
+
+    def _pad_span(grows, t, span, chunk_map, bmap):
         """Pad group stream-row counts: steps never cross a chunk boundary
-        and touch at most ``span`` consecutive compact buckets (slab's
-        pair-span: the out block covers the pair, host overlap-adds)."""
+        or a bucket G-group boundary, and touch at most ``span`` consecutive
+        compact buckets (slab's pair-span: the out block covers the pair,
+        host overlap-adds)."""
         pads = np.zeros(len(grows), np.int64)
         cur = 0
         straddle_step = -1
         for g, r in enumerate(grows):
             if g > 0 and cur % t != 0:
-                if grp_chunk0[g] != grp_chunk0[g - 1] or span == 1:
+                if (chunk_map[g] != chunk_map[g - 1] or span == 1
+                        or bmap[g] // G_GRP != bmap[g - 1] // G_GRP):
                     pads[g - 1] += t - (cur % t)
                     cur += t - (cur % t)
                     straddle_step = -1
@@ -298,24 +352,42 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
     t2_cands = (32, 64) if not p.get("t2_fix") else (p["t2_fix"],)
 
     # walk per m candidate (span/t-independent), then pick (m, t, span) by
-    # the fitted step-cost model
-    m_cands = [p["m2_fix"]] if p.get("m2_fix") else \
-        _span_quantiles(src_s, grp_starts[1:-1])
+    # the fitted step-cost model; candidates evaluated on a group sample
+    # past SAMPLE_WALK_NNZ, winner walked in full
+    scope_deg = scope * nnz / max(coo.n_row, 1)
+    if p.get("m2_fix"):
+        m_cands = [p["m2_fix"]]
+    else:
+        m_cands = _span_quantiles(src_s, grp_starts[1:-1])
+        m_cands.append(round(k_slots / max(scope_deg, 1.0)) + 1)
+    m_cands = sorted(set(min(max(m, 1), M_MAX, p1) for m in m_cands))
+    stride = 8 if (nnz > SAMPLE_WALK_NNZ and len(m_cands) > 1) else 1
+    src_e, grp_starts_e = _sample_groups(src_s, grp_starts, stride)
+    chunk_e = grp_chunk0[::stride] if stride > 1 else grp_chunk0
+    bidx_e = bidx0[::stride] if stride > 1 else bidx0
+
+    def _pad_cost(grows, t_c, sp_c, chunk_map):
+        pads = _pad_span(grows, t_c, sp_c, chunk_map, bidx_e)
+        return int(pads.sum())
+
     best = None
-    for m_c in sorted(set(min(m, M_MAX, p1) for m in m_cands)):
-        wk = _walk(src_s, grp_starts, m_c)
+    for m_c in m_cands:
+        wk = _walk(src_e, grp_starts_e, m_c)
         for t_c in t2_cands:
             for sp_c in span_cands:
-                h_c = int(_pad_span(wk[2], t_c, sp_c).sum())
+                h_c = _pad_cost(wk[2], t_c, sp_c, chunk_e) * stride
                 per = (BASE_SLOT_S + m_c * SEL_SLOT_S
                        + sp_c * planes * ROUTE_SLOT_S
                        + (3 + sp_c * planes) / HBM_BPS)
                 sec = (h_c / t_c) * ROUTE_FIXED_S + h_c * LANES * per
                 if best is None or sec < best[0]:
                     best = (sec, m_c, t_c, sp_c, wk)
-    _, m2, t2, span, (sizes2, bases2, grows2) = best
+    _, m2, t2, span, wk = best
+    if stride > 1:
+        wk = _walk(src_s, grp_starts, m2)
+    sizes2, bases2, grows2 = wk
 
-    grows_pad = _pad_span(grows2, t2, span)
+    grows_pad = _pad_span(grows2, t2, span, grp_chunk0, bidx0)
     h2 = int(grows_pad.sum())
     gstart = np.concatenate([[0], np.cumsum(grows_pad)[:-1]])
     wstart2 = np.concatenate([[0], np.cumsum(grows2)[:-1]])
@@ -361,14 +433,15 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
     end[-1] = True
     r_run, sr_run, e_lane = rows_f[end], sr2[end], li2[end]
 
-    # per-step first group / compact bucket
+    # per-step first group / compact bucket / bucket G-group
     n_steps = h2 // t2
     grp_of_frow = np.repeat(hm.arange(len(grows_pad)),
                             grows_pad.astype(np.int64))
     g_step = grp_of_frow[::t2]
-    ub, bidx_g = np.unique(grp_bucket, return_inverse=True)
+    ub = ub0
     n_buckets = len(ub)
-    uids = bidx_g[g_step].astype(np.int32)        # compact, non-decreasing
+    uids = bidx0[g_step].astype(np.int32)         # compact, non-decreasing
+    gids = uids // G_GRP                          # out-block G-group
     chunk_step = grp_chunk[g_step].astype(np.int32)
     written = hm.zeros(n_buckets, np.bool_)
     written[uids.astype(np.int64)] = True
@@ -376,7 +449,7 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
 
     # σ: span-local — off = run's compact bucket − step's first bucket
     grp_run = grp_of_frow[sr_run]                 # group per run end
-    off_run = bidx_g[grp_run] - uids[sr_run // t2].astype(np.int64)
+    off_run = bidx0[grp_run] - uids[sr_run // t2].astype(np.int64)
     assert off_run.min(initial=0) >= 0 and \
         off_run.max(initial=0) < span, \
         "xch: a grid step spans more buckets than the out block covers"
@@ -386,11 +459,14 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
     idx2[sigma, sr_run, l_run] = e_lane.astype(np.int8)
 
     # ---- split pass-2 into SMEM-prefetch-sized pallas_calls ----
-    cz = _chunk_steps(uids, n_steps, n_buckets)
-    u_t, c_t, w_t, la_t, su_t, hm_t, ix_t = [], [], [], [], [], [], []
-    for s0, s1, u0, _nb in cz:
+    ngb_tot = int(gids[-1]) + 1 if n_steps else 0
+    cz = _chunk_steps(gids, n_steps, ngb_tot)
+    u_t, g_t, c_t, w_t, la_t, su_t, hm_t, ix_t = \
+        [], [], [], [], [], [], [], []
+    for s0, s1, g0, _ngb in cz:
         r0, r1 = s0 * t2, s1 * t2
-        u_t.append(device_put((uids[s0:s1] - u0).astype(np.int32)))
+        u_t.append(device_put((uids[s0:s1] - g0 * G_GRP).astype(np.int32)))
+        g_t.append(device_put((gids[s0:s1] - g0).astype(np.int32)))
         c_t.append(device_put(chunk_step[s0:s1]))
         w_t.append(device_put(win2[r0:r1]))
         la_t.append(device_put(lane2[r0:r1]))
@@ -422,7 +498,7 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
         uids2=tuple(u_t), cs2=tuple(c_t), win2=tuple(w_t),
         lane2=tuple(la_t), sub2=tuple(su_t), hm2=tuple(hm_t),
         idx2=tuple(ix_t), bucket_ids=device_put(ub.astype(np.int32)),
-        lo_mask=device_put(lo_mask))
+        lo_mask=device_put(lo_mask), gids2=tuple(g_t))
 
 
 def wslot_starts(sizes):
@@ -471,6 +547,7 @@ def _empty_state(coo, cfg):
         lane1=(z8(0, LANES),), sub1=(z8(0, LANES),),
         val1=(device_put(hm.zeros((0, LANES), dtype)),),
         uids2=(device_put(hm.zeros(0, np.int32)),),
+        gids2=(device_put(hm.zeros(0, np.int32)),),
         cs2=(device_put(hm.zeros(0, np.int32)),),
         win2=(device_put(hm.zeros(0, np.int32)),),
         lane2=(z8(0, LANES),), sub2=(z8(0, LANES),), hm2=(z8(0, LANES),),
@@ -501,26 +578,29 @@ def _route_phase(state: XchState, prod3):
     from ..ops.pallas.xch import xch_route
 
     n = state.n_row
-    op = state.span * state.planes          # out-block planes
-    outs = [xch_route(u, c, w, la, su, h2, ix, prod3,
-                      nb, state.m2, op, state.t2)
-            for u, c, w, la, su, h2, ix, nb in zip(
-                state.uids2, state.cs2, state.win2, state.lane2, state.sub2,
-                state.hm2, state.idx2, state.chunk_nb)]
+    op = state.span * state.planes          # out planes per bucket slot
+    outs = [xch_route(u, g, c, w, la, su, h2, ix, prod3,
+                      ngb, state.m2, op, state.t2, G_GRP)
+            for u, g, c, w, la, su, h2, ix, ngb in zip(
+                state.uids2, state.gids2, state.cs2, state.win2,
+                state.lane2, state.sub2, state.hm2, state.idx2,
+                state.chunk_nb)]
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     scope = state.planes * LANES
+    nbk = out.shape[0] // op                # G-padded bucket slots
+    out3 = out.reshape(nbk, state.span, scope)
+    if nbk < state.n_buckets:               # trailing never-first buckets
+        out3 = jnp.concatenate(
+            [out3, jnp.zeros((state.n_buckets - nbk, state.span, scope),
+                             out3.dtype)], axis=0)
+    out3 = out3[: state.n_buckets]
     if state.span == 1:
-        yb = out.reshape(state.n_buckets, scope)
+        yb = out3[:, 0, :]
     else:
-        # pair overlap-add: block b's hi half targets compact bucket b+1;
-        # blocks of never-first buckets are unwritten garbage (lo_mask)
-        out3 = out.reshape(state.n_buckets, state.span, scope)
-        ok = state.lo_mask > 0
-        zero = jnp.zeros((), prod3.dtype)
-        yb = jnp.where(ok, out3[:, 0, :], zero)
-        hi = jnp.where(ok, out3[:, 1, :], zero)
-        yb = yb + jnp.concatenate(
-            [jnp.zeros((1, scope), yb.dtype), hi[:-1]], axis=0)
+        # pair overlap-add: slot b's hi half targets compact bucket b+1
+        # (never-first buckets' own slots are zeroed with their G-block)
+        yb = out3[:, 0, :] + jnp.concatenate(
+            [jnp.zeros((1, scope), out3.dtype), out3[:-1, 1, :]], axis=0)
     nb_tot = cdiv(max(n, 1), scope)
     y2 = jnp.zeros((nb_tot, scope), prod3.dtype)
     y2 = y2.at[state.bucket_ids].set(yb, mode="drop", unique_indices=True)
@@ -587,7 +667,7 @@ def to_coo(state: XchState) -> COOMatrix:
     win2 = cat(state.win2).astype(np.int64)
     hm2 = cat(state.hm2).astype(np.int64)
     idx2 = cat(state.idx2, ax=1).astype(np.int64)
-    u_base = np.cumsum([0] + list(state.chunk_nb[:-1]))
+    u_base = np.cumsum([0] + list(state.chunk_nb[:-1])) * G_GRP
     uids = np.concatenate([np.asarray(u).astype(np.int64) + b
                            for u, b in zip(state.uids2, u_base)])
     cs = np.concatenate([np.asarray(c).astype(np.int64)

@@ -75,12 +75,18 @@ def xch_mul(win, lane, sub, val, x_table, m: int, T: int = 64):
     )(win, lane, sub, val, x_table)
 
 
-def _xch_route_kernel(uids_ref, cs_ref, win_ref, lane_ref, sub_ref, hm_ref,
-                      idx_ref, prod_ref, out_ref, *, m: int, planes: int):
+def _xch_route_kernel(uids_ref, gids_ref, cs_ref, win_ref, lane_ref, sub_ref,
+                      hm_ref, idx_ref, prod_ref, out_ref, *, m: int,
+                      planes: int, g_grp: int):
+    """The out block covers ``g_grp`` consecutive compact buckets; a step
+    accumulates its (planes, 128) contribution at a dynamic sublane offset.
+    Per-out-block pipeline flushes cost ~4-7 us on v5e (measured r4: ASIC's
+    333 buckets at ~1.5 steps each ran 6x slower than the microbench, which
+    had 8 steps per bucket) — grouping divides the flush count by g_grp."""
     t = pl.program_id(0)
 
     first = jnp.logical_or(
-        t == 0, uids_ref[jnp.maximum(t, 1)] != uids_ref[jnp.maximum(t, 1) - 1])
+        t == 0, gids_ref[jnp.maximum(t, 1)] != gids_ref[jnp.maximum(t, 1) - 1])
 
     @pl.when(first)
     def _():
@@ -110,22 +116,25 @@ def _xch_route_kernel(uids_ref, cs_ref, win_ref, lane_ref, sub_ref, hm_ref,
         picked = jnp.take_along_axis(w, jnp.where(valid, e, 0), axis=1)
         outs.append(jnp.sum(jnp.where(valid, picked, 0.0), axis=0,
                             keepdims=True))
-    out_ref[:] += jnp.concatenate(outs, axis=0)
+    off = (uids_ref[t] - gids_ref[t] * g_grp) * planes
+    out_ref[pl.ds(off, planes), :] += jnp.concatenate(outs, axis=0)
 
 
-def xch_route(uids, cs, win, lane, sub, hm1, idx, prod3, nb: int,
-              m: int, planes: int, T: int = 32):
+def xch_route(uids, gids, cs, win, lane, sub, hm1, idx, prod3, ngb: int,
+              m: int, planes: int, T: int = 32, g_grp: int = 16):
     """Pass-2: gather products through sliding windows, reduce runs, σ-route.
 
     uids:  (n_steps,) int32 prefetched — call-local compact bucket per step,
            non-decreasing.
+    gids:  (n_steps,) int32 prefetched — call-local bucket G-group per step
+           (uids // g_grp); the out block covers one G-group.
     cs:    (n_steps,) int32 prefetched — source chunk per step.
     win:   (H,) int32 prefetched — chunk-local product-row window base.
     lane/sub/hm1: (H, 128) int8.  idx: (planes, H, 128) int8 σ-plane
            end-lanes, −1 masked.
     prod3: (n_chunks, P1, 128) values — pass-1 products; block (1, P1, 128)
            selected by cs[t] (re-DMA'd only when the chunk changes).
-    Returns (nb·planes, 128).
+    Returns (ngb·g_grp·planes, 128).
     """
     h = lane.shape[0]
     n_steps = h // T
@@ -133,25 +142,28 @@ def xch_route(uids, cs, win, lane, sub, hm1, idx, prod3, nb: int,
     spec8 = lambda: pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
                                  memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_xch_route_kernel, m=m, planes=planes),
-        out_shape=jax.ShapeDtypeStruct((nb * planes, LANES), prod3.dtype),
+        functools.partial(_xch_route_kernel, m=m, planes=planes,
+                          g_grp=g_grp),
+        out_shape=jax.ShapeDtypeStruct((ngb * g_grp * planes, LANES),
+                                       prod3.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(n_steps,),
             in_specs=[
                 spec8(), spec8(), spec8(),
                 pl.BlockSpec((planes, T, LANES), lambda t, *_: (0, t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, p1, LANES), lambda t, u, c, w: (c[t], 0, 0),
+                pl.BlockSpec((1, p1, LANES),
+                             lambda t, u, g, c, w: (c[t], 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((planes, LANES),
-                                   lambda t, u, c, w: (u[t], 0),
+            out_specs=pl.BlockSpec((g_grp * planes, LANES),
+                                   lambda t, u, g, c, w: (g[t], 0),
                                    memory_space=pltpu.VMEM),
         ),
         compiler_params=_vmem_params_bytes(
             2 * p1 * LANES * prod3.dtype.itemsize,     # 2 chunk blocks live
             T * LANES * (3 + planes),
-            nb * planes * LANES * prod3.dtype.itemsize),
+            g_grp * planes * LANES * prod3.dtype.itemsize * 2),
         interpret=_use_interpret(),
-    )(uids, cs, win, lane, sub, hm1, idx, prod3)
+    )(uids, gids, cs, win, lane, sub, hm1, idx, prod3)
