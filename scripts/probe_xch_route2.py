@@ -59,13 +59,18 @@ def main():
         per = d / (loop - half) if d > 0 else (t2 - t0) / (loop + half)
         return per / n_slots * 1e9
 
-    def build(p1, nc, planes, steps_per_bucket, T, m, cs_mode="real"):
+    def build(p1, nc, planes, steps_per_bucket, T, m, cs_mode="real",
+              active=1.0):
         n_steps = H // T
         nb = max(int(n_steps / steps_per_bucket), 1)
-        uids = np.sort(rng.integers(0, nb, n_steps)).astype(np.int32) \
-            if steps_per_bucket != int(steps_per_bucket) else \
-            np.sort(np.repeat(np.arange(nb), int(steps_per_bucket))
-                    )[:n_steps].astype(np.int32)
+        if steps_per_bucket != int(steps_per_bucket):
+            uids = np.sort(rng.integers(0, nb, n_steps)).astype(np.int32)
+        else:
+            rep = np.sort(np.repeat(np.arange(nb), int(steps_per_bucket)))
+            if len(rep) < n_steps:   # pad so prefetch arrays cover the grid
+                rep = np.concatenate(
+                    [rep, np.full(n_steps - len(rep), nb - 1, rep.dtype)])
+            uids = rep[:n_steps].astype(np.int32)
         uids = np.minimum.accumulate(uids[::-1])[::-1]  # non-decreasing
         uids = np.sort(uids)
         gids = (uids // G).astype(np.int32)
@@ -87,40 +92,45 @@ def main():
         idx[sig.reshape(-1), hh, ll] = ll.astype(np.int8)
         prod = rng.uniform(-1, 1, (nc, p1, 128)).astype(np.float32)
         ngb = int(gids[-1]) + 1
-        args = [jnp.asarray(a) for a in (uids, gids, cs, win, lane, sub,
-                                         hm1, idx, prod)]
+        sg0 = np.zeros(n_steps, np.int32)
+        sg1 = np.full(n_steps, max(int(planes * active), 1) - 1, np.int32)
+        args = [jnp.asarray(a) for a in (uids, gids, cs, sg0, sg1, win,
+                                         lane, sub, hm1, idx, prod)]
         return args, ngb
 
     BASE = dict(p1=512, nc=32, planes=32, steps_per_bucket=3, T=32, m=17)
     variants = [
         ("base(ASIC-like)", {}),
-        ("p1=2048", {"p1": 2048}),
-        ("nc=4", {"nc": 4}),
+        ("act=.5 (span-skip)", {"active": 0.5}),
+        ("act=.25", {"active": 0.25}),
         ("planes=16", {"planes": 16, "m": 24}),
+        ("p16 act=.5", {"planes": 16, "m": 24, "active": 0.5}),
         ("planes=8", {"planes": 8, "m": 34}),
-        ("spb=8", {"steps_per_bucket": 8}),
-        ("T=64", {"T": 64}),
-        ("T=128", {"T": 128}),
         ("m=4", {"m": 4}),
-        ("m=1", {"m": 1}),
-        ("cs=random", {"cs_mode": "random"}),
+        ("p16 m=8", {"planes": 16, "m": 8}),
+        ("p16 m=16", {"planes": 16, "m": 16}),
+        ("p32 m=8", {"m": 8}),
+        ("p8 m=8", {"planes": 8, "m": 8}),
+        ("p8 m=16", {"planes": 8, "m": 16}),
+        ("T=64", {"T": 64}),
         ("micro-like", {"p1": 2048, "nc": 4, "planes": 16,
                         "steps_per_bucket": 8, "T": 64, "m": 16}),
     ]
-    for name, over in variants:
-        if time.time() > DEADLINE:
-            log("budget exhausted")
-            return
-        cfg = dict(BASE)
-        cfg.update(over)
-        args, ngb = build(**cfg)
-        try:
-            ns = bench(lambda *a, ngb=ngb, c=cfg: xch_route(
-                a[0], a[1], a[2], a[3], a[4], a[5], a[6], a[7], a[8],
-                ngb, c["m"], c["planes"], c["T"], G), args, H * 128)
-            log(f"{name:<18}: {ns:.4f} ns/slot")
-        except Exception as e:  # noqa: BLE001
-            log(f"{name:<18}: ERROR {type(e).__name__}: {e}")
+    for pg in (4, 8, 16):
+        for name, over in variants:
+            if time.time() > DEADLINE:
+                log("budget exhausted")
+                return
+            cfg = dict(BASE)
+            cfg.update(over)
+            args, ngb = build(**cfg)
+            try:
+                ns = bench(lambda *a, ngb=ngb, c=cfg, pg=pg: xch_route(
+                    *a, ngb, c["m"], c["planes"], c["T"], G, pg),
+                    args, H * 128)
+                log(f"pg={pg:<2} {name:<18}: {ns:.4f} ns/slot")
+            except Exception as e:  # noqa: BLE001
+                log(f"pg={pg:<2} {name:<18}: ERROR {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

@@ -33,6 +33,7 @@ from . import dia as dia_mod
 # harness.calibrate has run on the attached chip; v5e literals otherwise).
 from ..core import chipconst as _cc
 
+STATE_REV = 2   # bump with engine layout revs (xch rev 2: aligned-m plans)
 HBM_BPS = _cc.get("hbm_bps")               # streamed bytes/s achieved
 SCATTER_RATE = _cc.get("scatter_rate")     # XLA gather/scatter elements/s
 LANE_GATHER_RATE = _cc.get("lane_gather_rate")   # fused CSS stream elem/s

@@ -79,10 +79,26 @@ def fingerprint(coo, cfg: Config) -> dict:
     h.update(np.ascontiguousarray(coo.col).tobytes())
     h.update(np.ascontiguousarray(coo.val).tobytes())
     # json round-trip so tuples in Config compare equal to the lists a saved
-    # .json gives back
-    cfg_d = json.loads(json.dumps(dataclasses.asdict(cfg)))
+    # .json gives back; only convert-relevant fields participate — timing /
+    # instrumentation knobs (n_trials, calibrate_seconds, verify, ...) must
+    # not invalidate a converted state
+    _CONVERT_FIELDS = (
+        "format", "variant", "segment_width", "n_block", "padding",
+        "index_bits", "omega", "sigma", "row_block", "lane_width",
+        "bkt_cap_pct", "bkt_group_cols", "bkt_balance", "bkt_row_group",
+        "auto_exclude", "spmm_b", "dtype")
+    cfg_d = json.loads(json.dumps(
+        {k: v for k, v in dataclasses.asdict(cfg).items()
+         if k in _CONVERT_FIELDS}))
+    # per-format layout revision: a format module bumps STATE_REV when its
+    # convert layout/planning changes, invalidating stale cached states
+    try:
+        mod = importlib.import_module(f".{cfg.format}", __package__)
+        rev = getattr(mod, "STATE_REV", 0)
+    except ImportError:
+        rev = 0
     return {"n_row": coo.n_row, "n_col": coo.n_col, "nnz": coo.nnz,
-            "digest": h.hexdigest(), "config": cfg_d}
+            "digest": h.hexdigest(), "config": cfg_d, "rev": rev}
 
 
 def save_state(path: str, state: Any, coo=None, cfg: Config = None) -> None:

@@ -50,6 +50,7 @@ from .base import device_put, pytree_dataclass
 from .slab import _walk
 
 LANES = 128
+STATE_REV = 2               # bump when layout/planning changes (cache key)
 X_TABLE_CAP = 96 << 20      # VMEM-resident x table bound (v5e, as slab)
 P1_CAP_ROWS = 12288         # chunk product block ≤ 6 MB VMEM (12288·128·4B)
 M_MAX = 120                 # int8 sub index headroom
@@ -76,7 +77,14 @@ ROUTE_FIXED_S = 0.45e-6
 BLOCK_SWITCH_S = 4e-6       # per out/source block change (pipeline flush)
 BASE_SLOT_S = 0.012e-9
 SEL_SLOT_S = 0.003e-9                   # per window member per slot
-ROUTE_SLOT_S = 0.005e-9                 # per σ-plane (pick + mask + reduce)
+# route σ cost, refit from the r4 pg-sweep (scripts/probe_xch_route2.py,
+# pg=8: p8m8 0.166, p16m8 0.233, p32m8 0.357 ns/slot; act=.5 at p32 saved
+# 0.09): a plane costs DMA+issue whether pruned or not, compute only when
+# in the step's active [sg0, sg1] range
+ROUTE_BASE_S = 0.078e-9                 # run-total + write, per slot
+ROUTE_DMA_S = 0.0025e-9                 # per out plane (incl. pruned)
+ROUTE_CMP_S = 0.0055e-9                 # per ACTIVE plane (gather+mask+sum)
+ROUTE_SLOT_S = ROUTE_DMA_S + ROUTE_CMP_S   # back-compat aggregate
 HBM_BPS = _cc.get("hbm_bps")
 
 
@@ -124,6 +132,12 @@ class XchState:
     #                         the previous block's hi half)
     gids2: object = None    # k × (S_c,) int32 — call-local bucket G-group
     #                         per step (out block index)
+    sg0_2: object = None    # k × (S_c,) int32 — first active σ plane/step
+    sg1_2: object = None    # k × (S_c,) int32 — last active σ plane/step
+    #                         (inclusive; −1 = step routes nothing).  Rows
+    #                         are sorted within a step, so active planes are
+    #                         the contiguous range [sg0, sg1] — the kernel
+    #                         skips plane groups outside it.
 
 
 # ---------------------------------------------------------------- planning ---
@@ -171,6 +185,16 @@ SAMPLE_WALK_NNZ = 8_000_000   # candidate walks run on a 1/8 group sample
 #                               past this; only the winner walks in full
 
 
+def _align8(m, cap=M_MAX):
+    """Window sizes must be f32-sublane-aligned: pl.ds(win, m) with m not a
+    multiple of 8 takes Mosaic's unaligned-slice path, measured ~3x slower
+    per slot (r4 probe: mul m=5 0.142 vs m=8 0.041 ns/slot; route m=17
+    0.62 vs m=16 0.26).  m=1 slices hit a fast special case."""
+    if m <= 1:
+        return 1
+    return min(((m + 7) // 8) * 8, (cap // 8) * 8 if cap >= 8 else 1)
+
+
 def _best_walk(keys, starts, t_cands, fixed_s, per_slot_s, pad_h,
                m_override=None, m_cap=M_MAX, extra_cands=()):
     """Walk at candidate window sizes, pick the (m, t) minimizing the
@@ -183,7 +207,7 @@ def _best_walk(keys, starts, t_cands, fixed_s, per_slot_s, pad_h,
         cands = [min(m, m_cap)
                  for m in _span_quantiles(keys, starts[1:-1])]
         cands += [min(max(int(m), 1), m_cap) for m in extra_cands]
-    cands = sorted(set(cands))
+    cands = sorted(set(_align8(m, m_cap) for m in cands))
     stride = 8 if (len(keys) > SAMPLE_WALK_NNZ and len(cands) > 1) else 1
     keys_e, starts_e = _sample_groups(keys, starts, stride)
     best = None
@@ -230,8 +254,13 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
         slots2 = 1.1 * nnz + n_grp * (t2 / 2) * LANES
         slots1 = 1.05 * nnz
         per1 = BASE_SLOT_S + m1 * SEL_SLOT_S
-        per2 = (BASE_SLOT_S + m2 * SEL_SLOT_S + planes * ROUTE_SLOT_S
-                + (3 + planes) / HBM_BPS)
+        deg = nnz / n_r
+        n_chunks_e = max(nnz / k_slots, 1.0)
+        avg_run = max(deg / min(n_chunks_e, max(deg, 1.0)), 1.0)
+        act = min(planes, t2 / avg_run + 1.0)   # active σ planes per step
+        per2 = (ROUTE_BASE_S + m2 * SEL_SLOT_S
+                + 2 * planes * ROUTE_DMA_S + act * ROUTE_CMP_S
+                + 3.0 / HBM_BPS)
         switches = n_r / scope / G_GRP + 2.0 * nnz / k_slots
         sec = (slots1 / LANES / t1 * MUL_FIXED_S
                + slots2 / LANES / t2 * ROUTE_FIXED_S
@@ -360,7 +389,8 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
     else:
         m_cands = _span_quantiles(src_s, grp_starts[1:-1])
         m_cands.append(round(k_slots / max(scope_deg, 1.0)) + 1)
-    m_cands = sorted(set(min(max(m, 1), M_MAX, p1) for m in m_cands))
+    m_cands = sorted(set(_align8(min(max(m, 1), M2_CAP, p1))
+                         for m in m_cands))
     stride = 8 if (nnz > SAMPLE_WALK_NNZ and len(m_cands) > 1) else 1
     src_e, grp_starts_e = _sample_groups(src_s, grp_starts, stride)
     chunk_e = grp_chunk0[::stride] if stride > 1 else grp_chunk0
@@ -370,15 +400,20 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
         pads = _pad_span(grows, t_c, sp_c, chunk_map, bidx_e)
         return int(pads.sum())
 
+    # expected run length (adjacent same-row slots in (bucket, src) order
+    # merge into one run after the per-stream-row row sort)
+    row_brk = int(np.count_nonzero(rows_s[1:] != rows_s[:-1])) + 1
+    avg_run = nnz / max(row_brk, 1)
     best = None
     for m_c in m_cands:
         wk = _walk(src_e, grp_starts_e, m_c)
         for t_c in t2_cands:
             for sp_c in span_cands:
                 h_c = _pad_cost(wk[2], t_c, sp_c, chunk_e) * stride
-                per = (BASE_SLOT_S + m_c * SEL_SLOT_S
-                       + sp_c * planes * ROUTE_SLOT_S
-                       + (3 + sp_c * planes) / HBM_BPS)
+                act = min(sp_c * planes, t_c / max(avg_run, 1.0) + 1.0)
+                per = (ROUTE_BASE_S + m_c * SEL_SLOT_S
+                       + sp_c * planes * ROUTE_DMA_S + act * ROUTE_CMP_S
+                       + 3.0 / HBM_BPS)
                 sec = (h_c / t_c) * ROUTE_FIXED_S + h_c * LANES * per
                 if best is None or sec < best[0]:
                     best = (sec, m_c, t_c, sp_c, wk)
@@ -458,11 +493,21 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
     idx2 = hm.full((span * planes, h2, LANES), -1, np.int8)
     idx2[sigma, sr_run, l_run] = e_lane.astype(np.int8)
 
+    # per-step active σ range (kernel plane-group pruning); run ends are
+    # stream-row-sorted so reduceat segments are contiguous
+    sg0 = hm.zeros(n_steps, np.int32)
+    sg1 = hm.full(n_steps, -1, np.int32)
+    if len(sr_run):
+        s_of = (sr_run // t2).astype(np.int64)
+        bnd = np.flatnonzero(np.concatenate([[True], s_of[1:] != s_of[:-1]]))
+        sg0[s_of[bnd]] = np.minimum.reduceat(sigma, bnd).astype(np.int32)
+        sg1[s_of[bnd]] = np.maximum.reduceat(sigma, bnd).astype(np.int32)
+
     # ---- split pass-2 into SMEM-prefetch-sized pallas_calls ----
     ngb_tot = int(gids[-1]) + 1 if n_steps else 0
     cz = _chunk_steps(gids, n_steps, ngb_tot)
-    u_t, g_t, c_t, w_t, la_t, su_t, hm_t, ix_t = \
-        [], [], [], [], [], [], [], []
+    u_t, g_t, c_t, w_t, la_t, su_t, hm_t, ix_t, s0_t, s1_t = \
+        [], [], [], [], [], [], [], [], [], []
     for s0, s1, g0, _ngb in cz:
         r0, r1 = s0 * t2, s1 * t2
         u_t.append(device_put((uids[s0:s1] - g0 * G_GRP).astype(np.int32)))
@@ -473,6 +518,8 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
         su_t.append(device_put(sub2[r0:r1]))
         hm_t.append(device_put(hm2[r0:r1]))
         ix_t.append(device_put(idx2[:, r0:r1]))
+        s0_t.append(device_put(sg0[s0:s1]))
+        s1_t.append(device_put(sg1[s0:s1]))
 
     # ---- split pass-1 likewise (win1 prefetch = 4 B/stream row ≤ 1 MB) ----
     cz1 = []
@@ -498,7 +545,8 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
         uids2=tuple(u_t), cs2=tuple(c_t), win2=tuple(w_t),
         lane2=tuple(la_t), sub2=tuple(su_t), hm2=tuple(hm_t),
         idx2=tuple(ix_t), bucket_ids=device_put(ub.astype(np.int32)),
-        lo_mask=device_put(lo_mask), gids2=tuple(g_t))
+        lo_mask=device_put(lo_mask), gids2=tuple(g_t),
+        sg0_2=tuple(s0_t), sg1_2=tuple(s1_t))
 
 
 def wslot_starts(sizes):
@@ -548,6 +596,8 @@ def _empty_state(coo, cfg):
         val1=(device_put(hm.zeros((0, LANES), dtype)),),
         uids2=(device_put(hm.zeros(0, np.int32)),),
         gids2=(device_put(hm.zeros(0, np.int32)),),
+        sg0_2=(device_put(hm.zeros(0, np.int32)),),
+        sg1_2=(device_put(hm.zeros(0, np.int32)),),
         cs2=(device_put(hm.zeros(0, np.int32)),),
         win2=(device_put(hm.zeros(0, np.int32)),),
         lane2=(z8(0, LANES),), sub2=(z8(0, LANES),), hm2=(z8(0, LANES),),
@@ -579,12 +629,15 @@ def _route_phase(state: XchState, prod3):
 
     n = state.n_row
     op = state.span * state.planes          # out planes per bucket slot
-    outs = [xch_route(u, g, c, w, la, su, h2, ix, prod3,
+    sg0s = state.sg0_2 or tuple(jnp.zeros_like(u) for u in state.uids2)
+    sg1s = state.sg1_2 or tuple(jnp.full_like(u, op - 1)
+                                for u in state.uids2)
+    outs = [xch_route(u, g, c, s0, s1, w, la, su, h2, ix, prod3,
                       ngb, state.m2, op, state.t2, G_GRP)
-            for u, g, c, w, la, su, h2, ix, ngb in zip(
-                state.uids2, state.gids2, state.cs2, state.win2,
-                state.lane2, state.sub2, state.hm2, state.idx2,
-                state.chunk_nb)]
+            for u, g, c, s0, s1, w, la, su, h2, ix, ngb in zip(
+                state.uids2, state.gids2, state.cs2, sg0s, sg1s,
+                state.win2, state.lane2, state.sub2, state.hm2,
+                state.idx2, state.chunk_nb)]
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     scope = state.planes * LANES
     nbk = out.shape[0] // op                # G-padded bucket slots

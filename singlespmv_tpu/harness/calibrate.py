@@ -76,9 +76,12 @@ def _route_args(rng, H, planes, m, T, NC=4, P1=2048):
     ll = np.tile(np.arange(128), H)
     idx[sig.reshape(-1), hh, ll] = ll.astype(np.int8)
     prod = rng.uniform(-1, 1, (NC, P1, 128)).astype(np.float32)
-    args = [jnp.asarray(a) for a in (uids, cs, win, lane, sub, hm1, idx,
-                                     prod)]
-    return args, nb
+    gids = (uids // 16).astype(np.int32)
+    sg0 = np.zeros(n_steps, np.int32)
+    sg1 = np.full(n_steps, planes - 1, np.int32)   # all planes active
+    args = [jnp.asarray(a) for a in (uids, gids, cs, sg0, sg1, win, lane,
+                                     sub, hm1, idx, prod)]
+    return args, int(gids[-1]) + 1
 
 
 def measure(log=lambda m: print(m, file=sys.stderr)) -> Dict[str, float]:

@@ -75,14 +75,22 @@ def xch_mul(win, lane, sub, val, x_table, m: int, T: int = 64):
     )(win, lane, sub, val, x_table)
 
 
-def _xch_route_kernel(uids_ref, gids_ref, cs_ref, win_ref, lane_ref, sub_ref,
-                      hm_ref, idx_ref, prod_ref, out_ref, *, m: int,
-                      planes: int, g_grp: int):
+def _xch_route_kernel(uids_ref, gids_ref, cs_ref, sg0_ref, sg1_ref, win_ref,
+                      lane_ref, sub_ref, hm_ref, idx_ref, prod_ref, out_ref,
+                      *, m: int, planes: int, g_grp: int, pg: int):
     """The out block covers ``g_grp`` consecutive compact buckets; a step
     accumulates its (planes, 128) contribution at a dynamic sublane offset.
     Per-out-block pipeline flushes cost ~4-7 us on v5e (measured r4: ASIC's
     333 buckets at ~1.5 steps each ran 6x slower than the microbench, which
-    had 8 steps per bucket) — grouping divides the flush count by g_grp."""
+    had 8 steps per bucket) — grouping divides the flush count by g_grp.
+
+    σ-plane pruning: rows are sorted within a step, so the step's active
+    planes form the contiguous range [sg0[t], sg1[t]] (inclusive; empty when
+    sg1 < sg0).  Planes are processed in groups of ``pg``; a group outside
+    the range skips its gather+mask+reduce entirely (pl.when on prefetched
+    scalars).  This removes the span-2 hi-half waste (~2x on the giants:
+    non-straddling steps never touch planes ≥ planes/2) and prunes skewed
+    σ distributions on long-run structures."""
     t = pl.program_id(0)
 
     first = jnp.logical_or(
@@ -109,19 +117,29 @@ def _xch_route_kernel(uids_ref, gids_ref, cs_ref, win_ref, lane_ref, sub_ref,
 
     w = _run_totals(g, hm_ref[:])
 
-    outs = []
-    for sigma in range(planes):
-        e = idx_ref[sigma].astype(jnp.int32)
-        valid = e >= 0
-        picked = jnp.take_along_axis(w, jnp.where(valid, e, 0), axis=1)
-        outs.append(jnp.sum(jnp.where(valid, picked, 0.0), axis=0,
-                            keepdims=True))
     off = (uids_ref[t] - gids_ref[t] * g_grp) * planes
-    out_ref[pl.ds(off, planes), :] += jnp.concatenate(outs, axis=0)
+
+    def _plane_block(g0, n_p):
+        outs = []
+        for sigma in range(g0, g0 + n_p):
+            e = idx_ref[sigma].astype(jnp.int32)
+            valid = e >= 0
+            picked = jnp.take_along_axis(w, jnp.where(valid, e, 0), axis=1)
+            outs.append(jnp.sum(jnp.where(valid, picked, 0.0), axis=0,
+                                keepdims=True))
+        return jnp.concatenate(outs, axis=0) if n_p > 1 else outs[0]
+
+    for g0 in range(0, planes, pg):
+        n_p = min(pg, planes - g0)
+
+        @pl.when(jnp.logical_and(sg0_ref[t] < g0 + n_p, sg1_ref[t] >= g0))
+        def _(g0=g0, n_p=n_p):
+            out_ref[pl.ds(off + g0, n_p), :] += _plane_block(g0, n_p)
 
 
-def xch_route(uids, gids, cs, win, lane, sub, hm1, idx, prod3, ngb: int,
-              m: int, planes: int, T: int = 32, g_grp: int = 16):
+def xch_route(uids, gids, cs, sg0, sg1, win, lane, sub, hm1, idx, prod3,
+              ngb: int, m: int, planes: int, T: int = 32, g_grp: int = 16,
+              pg: int = 8):
     """Pass-2: gather products through sliding windows, reduce runs, σ-route.
 
     uids:  (n_steps,) int32 prefetched — call-local compact bucket per step,
@@ -129,6 +147,8 @@ def xch_route(uids, gids, cs, win, lane, sub, hm1, idx, prod3, ngb: int,
     gids:  (n_steps,) int32 prefetched — call-local bucket G-group per step
            (uids // g_grp); the out block covers one G-group.
     cs:    (n_steps,) int32 prefetched — source chunk per step.
+    sg0/sg1: (n_steps,) int32 prefetched — first/last (inclusive) active
+           σ plane per step; sg1 < sg0 means the step routes nothing.
     win:   (H,) int32 prefetched — chunk-local product-row window base.
     lane/sub/hm1: (H, 128) int8.  idx: (planes, H, 128) int8 σ-plane
            end-lanes, −1 masked.
@@ -143,22 +163,22 @@ def xch_route(uids, gids, cs, win, lane, sub, hm1, idx, prod3, ngb: int,
                                  memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_xch_route_kernel, m=m, planes=planes,
-                          g_grp=g_grp),
+                          g_grp=g_grp, pg=pg),
         out_shape=jax.ShapeDtypeStruct((ngb * g_grp * planes, LANES),
                                        prod3.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=6,
             grid=(n_steps,),
             in_specs=[
                 spec8(), spec8(), spec8(),
                 pl.BlockSpec((planes, T, LANES), lambda t, *_: (0, t, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, p1, LANES),
-                             lambda t, u, g, c, w: (c[t], 0, 0),
+                             lambda t, u, g, c, s0, s1, w: (c[t], 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((g_grp * planes, LANES),
-                                   lambda t, u, g, c, w: (g[t], 0),
+                                   lambda t, u, g, c, s0, s1, w: (g[t], 0),
                                    memory_space=pltpu.VMEM),
         ),
         compiler_params=_vmem_params_bytes(
@@ -166,4 +186,4 @@ def xch_route(uids, gids, cs, win, lane, sub, hm1, idx, prod3, ngb: int,
             T * LANES * (3 + planes),
             g_grp * planes * LANES * prod3.dtype.itemsize * 2),
         interpret=_use_interpret(),
-    )(uids, gids, cs, win, lane, sub, hm1, idx, prod3)
+    )(uids, gids, cs, sg0, sg1, win, lane, sub, hm1, idx, prod3)
