@@ -44,8 +44,13 @@ from ..core.types import COOMatrix, cdiv
 from .base import device_put, pytree_dataclass
 
 LANES = 128
+STATE_REV = 2               # aligned-m plans (r4); cache key component
 UNIT_ROWS = 1024           # y rows per unit: 8 sublanes × 128 lanes
-M_CANDS = (1, 2, 4, 8, 16, 32)
+M_CANDS = (1, 8, 16, 32)   # window sizes are f32-sublane-aligned: pl.ds
+#                              with a non-multiple-of-8 size takes Mosaic's
+#                              unaligned path, ~3x slower per slot (r4 probe:
+#                              m=4 ran SLOWER than m=8); m=1 is a fast
+#                              special case
 T_CANDS = (32, 64, 128)
 SPAN_CANDS = (1, 2)        # unit mode: units per output block (8/16 σ-planes)
 BLK_PLANES = (8, 16, 32)   # blk mode: 128-row blocks per output block
@@ -244,7 +249,7 @@ def _estimate_cols(rows0, cols0, nnz, extra_s=0.0, fixed=None,
     nnz = len(rows0)
     # giant guard: each extra m candidate re-walks the (vectorized) stream;
     # past 60 M nnz trim the grid to the empirically-winning ms
-    m_cands = M_CANDS if nnz <= 60_000_000 else (2, 4, 8, 16)
+    m_cands = M_CANDS if nnz <= 60_000_000 else (1, 8, 16)
     t_cands = T_CANDS
     mode_cands = (("unit", 10, 1), ("blk", 7, 1),
                   ("blk", 8, 2), ("blk", 9, 4))

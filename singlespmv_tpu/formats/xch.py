@@ -60,8 +60,13 @@ M2_CAP = 40                 # route-window cap: the select's VMEM working set
 G_GRP = 16                  # compact buckets per out block: out-block
 #                             switches flush the pipeline (~4-7 us each,
 #                             measured r4) — grouping divides them by G
-CHUNK_STEPS = 40_000        # steps per pallas_call (SMEM prefetch ≤ 1 MB:
-#                             uids + cs (4 B/step) + win2 (4 B/stream row))
+CHUNK_ROWS = 160_000        # stream rows per pallas_call: the win2 prefetch
+#                             is 4 B/STREAM ROW (not per step), so the SMEM
+#                             budget (1 MB) caps rows — 160k rows = 640 KB
+#                             win + 5 per-step arrays ≤ 100 KB.  (r4: the
+#                             old 40k-STEP cap let 1.2M rows through on
+#                             Freescale1/cage15 → 4-5 MB SMEM → compile
+#                             failure "prefetched SMEM operand 5".)
 
 # measured-rate cost model, fitted on the r4 chip microbench
 # (scripts/probe_xch_kernel.py, on-device chained loops, TPU v5e):
@@ -505,7 +510,8 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
 
     # ---- split pass-2 into SMEM-prefetch-sized pallas_calls ----
     ngb_tot = int(gids[-1]) + 1 if n_steps else 0
-    cz = _chunk_steps(gids, n_steps, ngb_tot)
+    cz = _chunk_steps(gids, n_steps, ngb_tot,
+                      max_steps=max(CHUNK_ROWS // t2, 1))
     u_t, g_t, c_t, w_t, la_t, su_t, hm_t, ix_t, s0_t, s1_t = \
         [], [], [], [], [], [], [], [], [], []
     for s0, s1, g0, _ngb in cz:
@@ -557,19 +563,21 @@ def cdiv_np(a, b):
     return -(-a // b)
 
 
-def _chunk_steps(uids, n_steps, n_buckets):
-    """Split pass-2 steps into ≤CHUNK_STEPS chunks, cutting at new-bucket
-    steps.  Returns [(s0, s1, first_bucket, n_buckets_in_chunk)]; the last
-    chunk covers through ``n_buckets`` (with span, a trailing bucket may
-    never be a step's first — its block stays unwritten, lo_mask drops it)."""
+def _chunk_steps(uids, n_steps, n_buckets, max_steps=None):
+    """Split pass-2 steps into chunks of ≤``max_steps`` (SMEM row cap / t2),
+    cutting at new-bucket steps.  Returns [(s0, s1, first_bucket,
+    n_buckets_in_chunk)]; the last chunk covers through ``n_buckets`` (with
+    span, a trailing bucket may never be a step's first — its block stays
+    unwritten, lo_mask drops it)."""
     if n_steps == 0:
         return []
-    if n_steps <= CHUNK_STEPS:
+    cap = max_steps if max_steps else n_steps
+    if n_steps <= cap:
         return [(0, n_steps, 0, n_buckets)]
     new_b = np.flatnonzero(np.concatenate([[True], uids[1:] != uids[:-1]]))
     cuts = [0]
-    while cuts[-1] + CHUNK_STEPS < n_steps:
-        k = np.searchsorted(new_b, cuts[-1] + CHUNK_STEPS, side="right") - 1
+    while cuts[-1] + cap < n_steps:
+        k = np.searchsorted(new_b, cuts[-1] + cap, side="right") - 1
         s = int(new_b[k])
         if s <= cuts[-1]:
             raise ValueError("xch: a single bucket exceeds the step cap")
