@@ -125,7 +125,7 @@ def test_xch_chunked_stream(monkeypatch):
     coo = _mix(60000, 150000, 0)
     x = np.random.default_rng(3).uniform(size=coo.n_col).astype(np.float32)
     y_single = np.asarray(jax.jit(spmv_fn(F32))(convert(coo, F32), x))
-    monkeypatch.setattr(xch_mod, "CHUNK_STEPS", 8)
+    monkeypatch.setattr(xch_mod, "CHUNK_ROWS", 8 * 64)  # ≤8 steps per call
     monkeypatch.setattr(xch_mod, "G_GRP", 1)
     st = convert(coo, F32)
     assert len(st.uids2) > 1
