@@ -112,6 +112,10 @@ class SlabState:
     hub_cols: object = None  # (n_hub,) int32 — appendix source columns
     sig: object = None     # blk mode: (H, 128) int8 — per stream row its
     #                        block offset from the step's first block
+    sg0: object = None     # unit mode: k × (n_steps_c,) int32 — first
+    sg1: object = None     # /last (inclusive) active σ plane per step;
+    #                        slots are row-sorted so the range is contiguous
+    #                        and the kernel prunes plane groups outside it
 
 
 # ----------------------------------------------------------------- packing ---
@@ -547,6 +551,7 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
     off = ur_run - first_run
     l_run = r_run & (LANES - 1)
     sig = None
+    sg0_s = sg1_s = None
     if mode == "unit":
         # σ ∈ [0, planes): span-local sublane — offset 8 per unit past first
         assert off.min(initial=0) >= 0 and \
@@ -557,6 +562,18 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
         # run per row per stream row (slots row-sorted within stream rows)
         idx = hm.full((planes, h, LANES), -1, np.int8)
         idx[sigma, sr_run, l_run] = e_lane.astype(np.int8)
+        # per-step active σ range (kernel plane-group pruning); run ends
+        # are stream-row-sorted so reduceat segments are contiguous
+        sg0_s = hm.zeros(n_steps, np.int32)
+        sg1_s = hm.full(n_steps, -1, np.int32)
+        if len(sr_run):
+            s_of = (sr_run // t_step).astype(np.int64)
+            bnd = np.flatnonzero(
+                np.concatenate([[True], s_of[1:] != s_of[:-1]]))
+            sg0_s[s_of[bnd]] = np.minimum.reduceat(sigma, bnd).astype(
+                np.int32)
+            sg1_s[s_of[bnd]] = np.maximum.reduceat(sigma, bnd).astype(
+                np.int32)
     else:
         # plane j of idx holds runs destined to the group's j-th 128-row
         # block (rows inside one block are lane-distinct); σ per STREAM ROW
@@ -594,6 +611,7 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
     cz = _chunk_cuts(uids, n_steps, t_step, n_units)
     u_t, w_t, la_t, su_t, va_t, hm_t, ix_t, sg_t = \
         [], [], [], [], [], [], [], []
+    s0_t, s1_t = [], []
     for s0, s1, u0, _nu in cz:
         r0, r1 = s0 * t_step, s1 * t_step
         u_t.append(device_put((uids[s0:s1] - u0).astype(np.int32)))
@@ -605,6 +623,9 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
         ix_t.append(device_put(idx[:, r0:r1]))
         if sig is not None:
             sg_t.append(device_put(sig[r0:r1]))
+        if sg0_s is not None:
+            s0_t.append(device_put(sg0_s[s0:s1]))
+            s1_t.append(device_put(sg1_s[s0:s1]))
 
     return SlabState(
         n_row=coo.n_row, n_col=coo.n_col, nnz=coo.nnz, m=m, t_step=t_step,
@@ -617,7 +638,9 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
         hm1=tuple(hm_t), idx=tuple(ix_t),
         unit_ids=device_put(unit_ids), lo_mask=device_put(lo_mask),
         hub_cols=device_put(hub_cols) if hub_cols is not None else None,
-        sig=tuple(sg_t) if sig is not None else None)
+        sig=tuple(sg_t) if sig is not None else None,
+        sg0=tuple(s0_t) if sg0_s is not None else None,
+        sg1=tuple(s1_t) if sg0_s is not None else None)
 
 
 def _empty_state(coo, cfg):
@@ -680,11 +703,15 @@ def spmv(state: SlabState, x):
         y2 = jnp.zeros((nb_tot, LANES), x.dtype)
         y2 = y2.at[state.unit_ids].set(yb, mode="drop", unique_indices=True)
         return y2.reshape(-1)[:n]
+    sg0s = state.sg0 or tuple(jnp.zeros_like(u) for u in state.uids)
+    sg1s = state.sg1 or tuple(jnp.full_like(u, state.planes - 1)
+                              for u in state.uids)
     outs = [
-        slab_spmv(u, w, la, su, va, h1, ix, xp, nu_c, state.m, state.t_step)
-        for u, w, la, su, va, h1, ix, nu_c in zip(
-            state.uids, state.win, state.lane, state.sub, state.val,
-            state.hm1, state.idx, state.chunk_nu)]
+        slab_spmv(u, s0, s1, w, la, su, va, h1, ix, xp, nu_c, state.m,
+                  state.t_step)
+        for u, s0, s1, w, la, su, va, h1, ix, nu_c in zip(
+            state.uids, sg0s, sg1s, state.win, state.lane, state.sub,
+            state.val, state.hm1, state.idx, state.chunk_nu)]
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     if state.planes == 8:
         yu = out.reshape(state.n_units, UNIT_ROWS)

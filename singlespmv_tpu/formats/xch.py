@@ -50,7 +50,7 @@ from .base import device_put, pytree_dataclass
 from .slab import _walk
 
 LANES = 128
-STATE_REV = 2               # bump when layout/planning changes (cache key)
+STATE_REV = 3               # bump when layout/planning changes (cache key)
 X_TABLE_CAP = 96 << 20      # VMEM-resident x table bound (v5e, as slab)
 P1_CAP_ROWS = 12288         # chunk product block ≤ 6 MB VMEM (12288·128·4B)
 M_MAX = 120                 # int8 sub index headroom

@@ -99,8 +99,14 @@ def _gather_mul(win_ref, lane_ref, sub_ref, val_ref, x_ref, t, *, m):
     return val_ref[:] * g
 
 
-def _slab_kernel(uids_ref, win_ref, lane_ref, sub_ref, val_ref, hm1_ref,
-                 idx_ref, x_ref, out_ref, *, m: int, planes: int):
+def _slab_kernel(uids_ref, sg0_ref, sg1_ref, win_ref, lane_ref, sub_ref,
+                 val_ref, hm1_ref, idx_ref, x_ref, out_ref, *, m: int,
+                 planes: int, pg: int = 2):
+    """σ-plane pruning (r4): slots are row-sorted within a step, so the
+    active planes form the contiguous range [sg0[t], sg1[t]]; plane groups
+    of ``pg`` outside it skip their gather+mask+reduce.  Dense-row mid
+    matrices (raefsky3 class, ≥64 nnz/row) touch 1-3 of the 8/16 planes
+    per step — the route was ~half their per-slot budget."""
     t = pl.program_id(0)
 
     first = jnp.logical_or(
@@ -113,14 +119,22 @@ def _slab_kernel(uids_ref, win_ref, lane_ref, sub_ref, val_ref, hm1_ref,
     w = _run_totals(_gather_mul(win_ref, lane_ref, sub_ref, val_ref, x_ref,
                                 t, m=m), hm1_ref[:])
 
-    outs = []
-    for sigma in range(planes):
-        e = idx_ref[sigma].astype(jnp.int32)                    # (T, 128)
-        valid = e >= 0
-        picked = jnp.take_along_axis(w, jnp.where(valid, e, 0), axis=1)
-        outs.append(jnp.sum(jnp.where(valid, picked, 0.0), axis=0,
-                            keepdims=True))
-    out_ref[:] += jnp.concatenate(outs, axis=0)
+    def _plane_block(g0, n_p):
+        outs = []
+        for sigma in range(g0, g0 + n_p):
+            e = idx_ref[sigma].astype(jnp.int32)                # (T, 128)
+            valid = e >= 0
+            picked = jnp.take_along_axis(w, jnp.where(valid, e, 0), axis=1)
+            outs.append(jnp.sum(jnp.where(valid, picked, 0.0), axis=0,
+                                keepdims=True))
+        return jnp.concatenate(outs, axis=0) if n_p > 1 else outs[0]
+
+    for g0 in range(0, planes, pg):
+        n_p = min(pg, planes - g0)
+
+        @pl.when(jnp.logical_and(sg0_ref[t] < g0 + n_p, sg1_ref[t] >= g0))
+        def _(g0=g0, n_p=n_p):
+            out_ref[g0:g0 + n_p, :] += _plane_block(g0, n_p)
 
 
 def _slab_blk_kernel(uids_ref, win_ref, lane_ref, sub_ref, val_ref, hm1_ref,
@@ -246,12 +260,14 @@ def slab_spmm(uids, win, lane, sub, val, hm1, idx, x_panel, nu: int,
     )(uids, win, lane, sub, val, hm1, idx, x_panel)
 
 
-def slab_spmv(uids, win, lane, sub, val, hm1, idx, x_table, nu: int,
-              m: int, T: int = 64):
+def slab_spmv(uids, sg0, sg1, win, lane, sub, val, hm1, idx, x_table,
+              nu: int, m: int, T: int = 64):
     """Run the fused slab kernel.
 
     uids:    (n_steps,) int32 — compact first-unit index per grid step,
              non-decreasing.
+    sg0/sg1: (n_steps,) int32 — first/last (inclusive) active σ plane per
+             step (sg1 < sg0: step routes nothing).
     win:     (H,) int32 — window base col-block per stream row.
     lane:    (H, 128) int8; sub: (H, 128) int8 (ignored when m == 1);
     val:     (H, 128) values; hm1: (H, 128) int8;
@@ -272,7 +288,7 @@ def slab_spmv(uids, win, lane, sub, val, hm1, idx, x_table, nu: int,
         functools.partial(_slab_kernel, m=m, planes=planes),
         out_shape=jax.ShapeDtypeStruct((nu * planes, LANES), val.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=4,
             grid=(n_steps,),
             in_specs=[
                 spec8(), spec8(), spec8(), spec8(),
@@ -280,14 +296,15 @@ def slab_spmv(uids, win, lane, sub, val, hm1, idx, x_table, nu: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((planes, LANES), lambda t, u, w: (u[t], 0),
+            out_specs=pl.BlockSpec((planes, LANES),
+                                   lambda t, u, s0, s1, w: (u[t], 0),
                                    memory_space=pltpu.VMEM),
         ),
         compiler_params=_vmem_params(
             x_table, T * LANES * (3 + val.dtype.itemsize + planes),
             nu * planes * LANES * val.dtype.itemsize),
         interpret=_use_interpret(),
-    )(uids, win, lane, sub, val, hm1, idx, x_table)
+    )(uids, sg0, sg1, win, lane, sub, val, hm1, idx, x_table)
 
 
 def slab_spmv_blk(uids, win, lane, sub, val, hm1, idx, sig, x_table, nb: int,
