@@ -210,6 +210,19 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
                     # 5% loss).  A flat real/est factor was tried and
                     # rejected: it flips para-4 to slab, a 13% loss.
                     costs["hyb"] = bscale * est_h["dia_sec"] + rbest + 80e-6
+
+    # hyper-sparse-class calibration (r4): on the giant scatter class
+    # (deg < 12, ≥ 500k rows) the slab/hyb estimates ran consistently
+    # optimistic against the chip — slab est 23.8 ms vs 30.3 measured
+    # (Freescale1, r3), hyb est/meas 1.21/1.77 (ASIC), 2.15/2.59 (webbase),
+    # 2.23/2.83 (Hamrle3).  A flat 1.35 on this class reproduces the
+    # measured ranking (xch wins all measured giants) without touching the
+    # mid-suite picks, where a global factor was tried and rejected
+    # (flips para-4, 13% loss — see the hyb comment above).
+    if not _inner and nnz / max(n, 1) < 12 and n >= 500_000:
+        for k in ("slab", "hyb", "bkt", "bkt_g", "ellg"):
+            if k in costs:
+                costs[k] *= 1.35
     return costs
 
 

@@ -91,6 +91,13 @@ ROUTE_DMA_S = 0.0025e-9                 # per out plane (incl. pruned)
 ROUTE_CMP_S = 0.0055e-9                 # per ACTIVE plane (gather+mask+sum)
 ROUTE_SLOT_S = ROUTE_DMA_S + ROUTE_CMP_S   # back-compat aggregate
 HBM_BPS = _cc.get("hbm_bps")
+EST_CAL = 0.62              # closed-form → measured calibration (r4): the
+#                             estimate can't see G-grouping, σ-range pruning
+#                             or the convert's span/t2 re-optimization; on
+#                             the three measured giants est/meas was 1.55/
+#                             0.946 (ASIC), 2.56/1.78 (webbase), 4.22/2.33
+#                             (Hamrle3) — a flat 0.62 reproduces all three
+#                             within 12%
 
 
 @pytree_dataclass(meta=("n_row", "n_col", "nnz", "m1", "m2", "t1", "t2",
@@ -274,7 +281,7 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
                               / HBM_BPS)
                + slots2 * per2)
         slots = slots1 + slots2
-        cand = {"feasible": True, "est_s": sec, "planes": planes,
+        cand = {"feasible": True, "est_s": sec * EST_CAL, "planes": planes,
                 "k_slots": k_slots, "m1": m1, "m2": m2, "t1": t1, "t2": t2,
                 "slots": int(slots)}
         if best is None or sec < best["est_s"]:
