@@ -281,11 +281,12 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
                               / HBM_BPS)
                + slots2 * per2)
         slots = slots1 + slots2
-        cand = {"feasible": True, "est_s": sec * EST_CAL, "planes": planes,
+        cand = {"feasible": True, "est_s": sec, "planes": planes,
                 "k_slots": k_slots, "m1": m1, "m2": m2, "t1": t1, "t2": t2,
                 "slots": int(slots)}
         if best is None or sec < best["est_s"]:
             best = cand
+    best["est_s"] *= EST_CAL
     return best
 
 
