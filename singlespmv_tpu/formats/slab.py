@@ -80,7 +80,7 @@ BLK_MXU_S = 0.0003e-9      # blk mode, per span plane (MXU one-hot width)
 
 @pytree_dataclass(meta=("n_row", "n_col", "nnz", "m", "t_step", "planes",
                         "mode", "n_units", "cb_pad", "n_slots", "hub_off",
-                        "chunk_nu"))
+                        "chunk_nu", "pg"))
 class SlabState:
     n_row: int
     n_col: int
@@ -116,6 +116,10 @@ class SlabState:
     sg1: object = None     # /last (inclusive) active σ plane per step;
     #                        slots are row-sorted so the range is contiguous
     #                        and the kernel prunes plane groups outside it
+    pg: int = 2            # plane-group granularity for the pruned route;
+    #                        pg == planes collapses to one branch (the
+    #                        convert sets this when nearly all planes are
+    #                        active anyway — measured 5% overhead otherwise)
 
 
 # ----------------------------------------------------------------- packing ---
@@ -552,6 +556,7 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
     l_run = r_run & (LANES - 1)
     sig = None
     sg0_s = sg1_s = None
+    pg_route = 2
     if mode == "unit":
         # σ ∈ [0, planes): span-local sublane — offset 8 per unit past first
         assert off.min(initial=0) >= 0 and \
@@ -574,6 +579,13 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
                 np.int32)
             sg1_s[s_of[bnd]] = np.maximum.reduceat(sigma, bnd).astype(
                 np.int32)
+            # plane-group granularity: when nearly every plane is active on
+            # a typical step (scattered units: window groups restart rows
+            # per stream row), pruning can't fire — collapse to one branch
+            # (pg = planes) to avoid the measured ~5% multi-branch overhead
+            act_mean = float(np.mean(np.maximum(
+                sg1_s - sg0_s + 1, 0))) if n_steps else 0.0
+            pg_route = planes if act_mean >= 0.7 * planes else 2
     else:
         # plane j of idx holds runs destined to the group's j-th 128-row
         # block (rows inside one block are lane-distinct); σ per STREAM ROW
@@ -640,7 +652,8 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
         hub_cols=device_put(hub_cols) if hub_cols is not None else None,
         sig=tuple(sg_t) if sig is not None else None,
         sg0=tuple(s0_t) if sg0_s is not None else None,
-        sg1=tuple(s1_t) if sg0_s is not None else None)
+        sg1=tuple(s1_t) if sg0_s is not None else None,
+        pg=pg_route)
 
 
 def _empty_state(coo, cfg):
@@ -708,7 +721,7 @@ def spmv(state: SlabState, x):
                               for u in state.uids)
     outs = [
         slab_spmv(u, s0, s1, w, la, su, va, h1, ix, xp, nu_c, state.m,
-                  state.t_step)
+                  state.t_step, getattr(state, "pg", 2) or 2)
         for u, s0, s1, w, la, su, va, h1, ix, nu_c in zip(
             state.uids, sg0s, sg1s, state.win, state.lane, state.sub,
             state.val, state.hm1, state.idx, state.chunk_nu)]

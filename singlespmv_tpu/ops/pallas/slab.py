@@ -261,7 +261,7 @@ def slab_spmm(uids, win, lane, sub, val, hm1, idx, x_panel, nu: int,
 
 
 def slab_spmv(uids, sg0, sg1, win, lane, sub, val, hm1, idx, x_table,
-              nu: int, m: int, T: int = 64):
+              nu: int, m: int, T: int = 64, pg: int = 2):
     """Run the fused slab kernel.
 
     uids:    (n_steps,) int32 — compact first-unit index per grid step,
@@ -285,7 +285,7 @@ def slab_spmv(uids, sg0, sg1, win, lane, sub, val, hm1, idx, x_table,
     spec8 = lambda: pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
                                  memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_slab_kernel, m=m, planes=planes),
+        functools.partial(_slab_kernel, m=m, planes=planes, pg=pg),
         out_shape=jax.ShapeDtypeStruct((nu * planes, LANES), val.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
