@@ -23,8 +23,12 @@ DEFAULTS: Dict[str, float] = {
     "step_fixed_s": 0.35e-6,   # per-grid-step fixed cost (slab kernel family)
     "base_slot_s": 0.015e-9,   # per-slot floor (gather+mul, m=1)
     "sel_slot_s": 0.002e-9,    # per window member per slot (one-hot select)
-    "route_slot_s": 0.004e-9,  # per sigma-plane per slot (pick+mask+reduce)
-    "blk_route_s": 0.013e-9,   # blk mode, per kblk plane
+    "route_slot_s": 0.00775e-9,  # per sigma-plane per slot (r4 refit:
+    #   unit(m8,p8) measured 0.098 ns/slot on twotone/xenon2/torso1)
+    "blk_route_s": 0.0035e-9,  # blk mode, per kblk plane (r4 refit)
+    "blk_fixed_s": 0.036e-9,   # blk mode, per-slot fixed route overhead
+    #   (r4: kblk=1/2/4 grid on twotone/xenon2/lhr34/laminar fits
+    #    route = 0.036 + kblk*(0.0035 + planes*0.0003) ns/slot)
     "scatter_rate": 0.14e9,    # XLA gather/scatter elements/s
     "lane_gather_rate": 5e9,   # fused CSS kernel stream elements/s
     "mxu_flops": 40e12,        # effective f32 batched-matmul flops/s

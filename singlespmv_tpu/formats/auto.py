@@ -33,7 +33,7 @@ from . import dia as dia_mod
 # harness.calibrate has run on the attached chip; v5e literals otherwise).
 from ..core import chipconst as _cc
 
-STATE_REV = 2   # bump with engine layout revs (xch rev 2: aligned-m plans)
+STATE_REV = 3   # bump with engine layout revs (slab rev 3: blk refit)
 HBM_BPS = _cc.get("hbm_bps")               # streamed bytes/s achieved
 SCATTER_RATE = _cc.get("scatter_rate")     # XLA gather/scatter elements/s
 LANE_GATHER_RATE = _cc.get("lane_gather_rate")   # fused CSS stream elem/s
@@ -96,7 +96,16 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
     # slab at that scale — skip it past 30 M nnz.
     from ..ops import pallas as pallas_pkg
 
-    if coo.nnz and coo.nnz <= 30_000_000 and pallas_pkg.supports(cfg.np_dtype):
+    # hyper-sparse giant fast path (r4): on the scatter class (deg < 12,
+    # >= 500k rows) the windowed engines lose to xch on every measured
+    # matrix (see the class factor below), while their SAMPLED estimators
+    # cost minutes at giant scale (rajat31: 634 s of the OptimizeTime was
+    # estimate, not convert).  Skip slab/hyb/bkt/ellg estimation entirely;
+    # dia/dense/bsr/css/xch/csr closed forms remain candidates.
+    hyper_sparse = (not _inner and nnz / max(n, 1) < 12 and n >= 500_000)
+
+    if (coo.nnz and coo.nnz <= 30_000_000 and not hyper_sparse
+            and pallas_pkg.supports(cfg.np_dtype)):
         # stage A: lane+val+prod = 9 B/slot streamed + wide lane gather
         # (measured 64 G elem/s at W=1024); stage B: prod+hm1+idx streamed +
         # the MXU prefix (256 flop/slot).
@@ -135,7 +144,7 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
     # measured step-cost model, including the hub-column appendix).
     from . import slab as slab_mod
 
-    if coo.nnz and pallas_pkg.supports(cfg.np_dtype):
+    if coo.nnz and not hyper_sparse and pallas_pkg.supports(cfg.np_dtype):
         est_sl = slab_mod.estimate(coo, cfg)
         if est_sl["feasible"]:
             costs["slab"] = est_sl["est_s"]
@@ -182,7 +191,7 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
             else:
                 costs[k] = costs[k] * b
 
-    if not _inner:
+    if not _inner and not hyper_sparse:
         bscale = max(cfg.spmm_b, 1)     # hyb runs vmap spmm: B× both parts
         est_h = hyb_mod.estimate(coo, cfg)
         if est_h["feasible"]:
@@ -219,7 +228,7 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
     # measured ranking (xch wins all measured giants) without touching the
     # mid-suite picks, where a global factor was tried and rejected
     # (flips para-4, 13% loss — see the hyb comment above).
-    if not _inner and nnz / max(n, 1) < 12 and n >= 500_000:
+    if hyper_sparse:
         for k in ("slab", "hyb", "bkt", "bkt_g", "ellg"):
             if k in costs:
                 costs[k] *= 1.35

@@ -44,7 +44,7 @@ from ..core.types import COOMatrix, cdiv
 from .base import device_put, pytree_dataclass
 
 LANES = 128
-STATE_REV = 2               # aligned-m plans (r4); cache key component
+STATE_REV = 3               # aligned-m + refit blk route model (r4)
 UNIT_ROWS = 1024           # y rows per unit: 8 sublanes × 128 lanes
 M_CANDS = (1, 8, 16, 32)   # window sizes are f32-sublane-aligned: pl.ds
 #                              with a non-multiple-of-8 size takes Mosaic's
@@ -75,6 +75,7 @@ BASE_SLOT_S = _cc.get("base_slot_s")
 ROUTE_SLOT_S = _cc.get("route_slot_s")   # unit mode, per σ-plane
 SEL_SLOT_S = _cc.get("sel_slot_s")       # per window member (one-hot select)
 BLK_ROUTE_S = _cc.get("blk_route_s")     # blk mode, per kblk plane
+BLK_FIXED_S = _cc.get("blk_fixed_s")     # blk mode, per-slot fixed route
 BLK_MXU_S = 0.0003e-9      # blk mode, per span plane (MXU one-hot width)
 
 
@@ -236,7 +237,10 @@ def _mode_cost(mode, planes, m, h, slots, t, extra_s, kblk=1):
         route = planes * ROUTE_SLOT_S
         bps = 7 + planes
     else:
-        route = kblk * (BLK_ROUTE_S + planes * BLK_MXU_S)
+        # r4 refit (driver-grade best-of-5 on the kblk 1/2/4 grid):
+        # route = fixed + kblk*(per + planes*mxu); the old pure-linear model
+        # underpriced kblk=1 3x and overpriced kblk=4
+        route = BLK_FIXED_S + kblk * (BLK_ROUTE_S + planes * BLK_MXU_S)
         bps = 8 + kblk
     dma = slots * bps / _cc.get("hbm_bps")   # HBM stream floor
     compute = slots * (BASE_SLOT_S + route + m * SEL_SLOT_S)
@@ -295,6 +299,12 @@ def _estimate_cols(rows0, cols0, nnz, extra_s=0.0, fixed=None,
             if fixed is not None:
                 cands = [c for c in cands if c[1] == fixed["planes"]]
             for t in t_cands:
+                if m * t > 1024:
+                    # select working set (T·m·128 f32 ×3 buffers) past ~1.5MB
+                    # serializes the pipeline (measured r4: twotone m16 T128
+                    # ran 0.142 ns/slot vs the 0.099 model; same cliff as
+                    # xch's M2_CAP)
+                    continue
                 for _, planes in cands:
                     if mode == "blk" and planes % kblk:
                         continue
