@@ -286,6 +286,47 @@ jax.tree_util.register_pytree_node(
 )
 
 
+TRIAL_NNZ_CAP = 20_000_000   # measured auto-tuning bound: past this a spare
+#                              candidate conversion costs minutes, trust model
+TRIAL_SPREAD = 2.5           # try every candidate whose estimate is within
+#                              this factor of the best estimate
+TRIAL_MAX = 3                # at most this many measured candidates
+
+
+def _quick_bench(mod, state, n_col, dtype) -> float:
+    """Seconds per spmv, driver-grade chained-loop marginal (2 trials)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..harness.driver import make_chained_runner, sync
+
+    x = jnp.asarray(np.linspace(-1.0, 1.0, max(n_col, 1), dtype=dtype))
+    run_n = make_chained_runner(lambda s, a: mod.spmv(s, a), x)
+    sync(run_n(state, x, jnp.int32(1)))
+    loop = 2
+    while loop < (1 << 16):
+        t0 = _time.perf_counter()
+        sync(run_n(state, x, jnp.int32(loop)))
+        if _time.perf_counter() - t0 >= 0.1:
+            break
+        loop *= 2
+    best = float("inf")
+    for _ in range(2):
+        half = max(loop // 2, 1)
+        t0 = _time.perf_counter()
+        sync(run_n(state, x, jnp.int32(half)))
+        t1 = _time.perf_counter()
+        sync(run_n(state, x, jnp.int32(loop)))
+        t2 = _time.perf_counter()
+        margin = (t2 - t1) - (t1 - t0)
+        per = margin / (loop - half) if margin > 0 else \
+            (t2 - t0) / (loop + half)
+        best = min(best, per)
+    return best
+
+
 def convert(coo: COOMatrix, cfg: Config, log=None) -> AutoState:
     import os
     import sys
@@ -296,16 +337,54 @@ def convert(coo: COOMatrix, cfg: Config, log=None) -> AutoState:
     costs = estimate_costs(coo, cfg, plans=plans)
     for ex in cfg.auto_exclude:
         costs.pop(ex, None)
-    last_err = None
-    for chosen in sorted(costs, key=costs.get):
+
+    def _build(chosen):
         ccfg = cfg.replace(bkt_row_group=1024) if chosen == "bkt_g" else cfg
+        if chosen in plans:
+            return AutoState(chosen, _MODULES[chosen].convert(
+                coo, ccfg, plan=plans[chosen]))
+        return AutoState(chosen, _MODULES[chosen].convert(coo, ccfg))
+
+    ranked = sorted(costs, key=costs.get)
+    # measured auto-tuning (the reference's per-format sweep, done online):
+    # when several engines are within TRIAL_SPREAD of the model's best, the
+    # model has repeatedly mispicked (r3: stomach; r4: lhr34/twotone/xenon2
+    # flapped between slab/bkt_g/hyb across cost-model refits).  Convert the
+    # close candidates and time each briefly on the device; keep the winner.
+    import jax
+
+    on_device = jax.default_backend() != "cpu"
+    trial = [f for f in ranked[:TRIAL_MAX]
+             if costs[f] <= costs[ranked[0]] * TRIAL_SPREAD]
+    last_err = None
+    if on_device and coo.nnz and coo.nnz <= TRIAL_NNZ_CAP and len(trial) > 1:
+        best = None
+        for chosen in trial:
+            try:
+                st = _build(chosen)
+                sec = _quick_bench(_MODULES[chosen], st.inner, coo.n_col,
+                                   cfg.np_dtype)
+                if log:
+                    log(f"auto: measured {chosen}: {sec * 1e6:.0f} us "
+                        f"(est {costs[chosen] * 1e6:.0f} us)")
+                if best is None or sec < best[0]:
+                    best = (sec, st)
+                else:
+                    del st
+            except (ValueError, TypeError, RuntimeError, MemoryError) as e:
+                last_err = e
+                if log:
+                    log(f"auto: {chosen} failed ({type(e).__name__}); next")
+        if best is not None:
+            return best[1]
+        # every trial candidate failed: fall through to the remaining ranks
+        ranked = [f for f in ranked if f not in trial]
+
+    for chosen in ranked:
         if log:
             log(f"auto: trying {chosen} (est {costs[chosen] * 1e6:.0f} us)")
         try:
-            if chosen in plans:
-                return AutoState(chosen, _MODULES[chosen].convert(
-                    coo, ccfg, plan=plans[chosen]))
-            return AutoState(chosen, _MODULES[chosen].convert(coo, ccfg))
+            return _build(chosen)
         # ValueError/TypeError: a guard refused.  RuntimeError/MemoryError:
         # device OOM or compile failure at convert time (jax's JaxRuntimeError
         # subclasses RuntimeError) — r2's Freescale1/rajat31 died here instead
