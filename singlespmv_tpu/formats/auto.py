@@ -150,6 +150,14 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
             costs["slab"] = est_sl["est_s"]
             if plans is not None:
                 plans["slab"] = est_sl
+            # the runner-up route family (unit vs blk / m=1 vs windowed):
+            # a distinct candidate so the measured trial arbitrates the
+            # ~8% calls the cost model cannot rank (r4)
+            alt = est_sl.get("alt")
+            if alt is not None and alt.get("feasible"):
+                costs["slab2"] = alt["est_s"]
+                if plans is not None:
+                    plans["slab2"] = alt
     # xch: the hyper-sparse giant engine (r4) — two fill-perfect passes with
     # one order exchange; wins exactly where slab's (unit × window) fill
     # collapses (circuit5M/rajat31/webbase class).
@@ -254,7 +262,8 @@ from . import xch as xch_mod  # noqa: E402
 _MODULES = {"dia": dia_mod, "dense": dense_mod, "bsr": bsr_mod,
             "css": css_mod, "bkt": bkt_mod, "bkt_g": bkt_mod,
             "hyb": hyb_mod, "csr": csr_mod, "ss": ss_mod,
-            "ellg": ellg_mod, "slab": slab_mod, "xch": xch_mod}
+            "ellg": ellg_mod, "slab": slab_mod, "slab2": slab_mod,
+            "xch": xch_mod}
 
 
 class AutoState:

@@ -74,6 +74,7 @@ STEP_FIXED_S = _cc.get("step_fixed_s")
 BASE_SLOT_S = _cc.get("base_slot_s")
 ROUTE_SLOT_S = _cc.get("route_slot_s")   # unit mode, per σ-plane
 SEL_SLOT_S = _cc.get("sel_slot_s")       # per window member (one-hot select)
+SEL_ENTRY_S = _cc.get("sel_entry_s")     # select entry cost, any m > 1
 BLK_ROUTE_S = _cc.get("blk_route_s")     # blk mode, per kblk plane
 BLK_FIXED_S = _cc.get("blk_fixed_s")     # blk mode, per-slot fixed route
 BLK_MXU_S = 0.0003e-9      # blk mode, per span plane (MXU one-hot width)
@@ -243,7 +244,8 @@ def _mode_cost(mode, planes, m, h, slots, t, extra_s, kblk=1):
         route = BLK_FIXED_S + kblk * (BLK_ROUTE_S + planes * BLK_MXU_S)
         bps = 8 + kblk
     dma = slots * bps / _cc.get("hbm_bps")   # HBM stream floor
-    compute = slots * (BASE_SLOT_S + route + m * SEL_SLOT_S)
+    sel = (SEL_ENTRY_S if m > 1 else 0.0) + m * SEL_SLOT_S
+    compute = slots * (BASE_SLOT_S + route + sel)
     return extra_s + (h // t) * STEP_FIXED_S + max(dma, compute)
 
 
@@ -258,6 +260,7 @@ def _estimate_cols(rows0, cols0, nnz, extra_s=0.0, fixed=None,
     the winner.  ``mem_scale``: multiply slots for the memory-cap check when
     estimating on a 1/mem_scale row-unit sample."""
     best = None
+    best_by_fam = {}
     nnz = len(rows0)
     # giant guard: each extra m candidate re-walks the (vectorized) stream;
     # past 60 M nnz trim the grid to the empirically-winning ms
@@ -336,16 +339,32 @@ def _estimate_cols(rows0, cols0, nnz, extra_s=0.0, fixed=None,
                         continue
                     sec = _mode_cost(mode, planes, m, h, slots, t, extra_s,
                                      kblk)
+                    cand = {"feasible": True, "est_s": sec,
+                            "slots": slots, "m": m, "t": t,
+                            "planes": planes, "mode": mode, "order": o0,
+                            "sizes": sizes, "bases": bases,
+                            "urows": urows, "kblk": kblk,
+                            "unit_ids": scope_s[sb].astype(np.int32)}
                     if best is None or sec < best["est_s"]:
-                        best = {"feasible": True, "est_s": sec,
-                                "slots": slots, "m": m, "t": t,
-                                "planes": planes, "mode": mode, "order": o0,
-                                "sizes": sizes, "bases": bases,
-                                "urows": urows, "kblk": kblk,
-                                "unit_ids": scope_s[sb].astype(np.int32)}
+                        best = cand
+                    # runner-up of the OTHER route family (unit vs blk, or
+                    # m==1 vs windowed): the model's unit/blk and m=1/m>1
+                    # calls are only good to ~8%, so auto's measured trial
+                    # gets both (r4: torso1 unit vs blk-k4 is a real 8% gap
+                    # the model cannot rank; raefsky3 m=1 is 2x m=8)
+                    fam = (mode, m == 1)
+                    if (fam not in best_by_fam
+                            or sec < best_by_fam[fam]["est_s"]):
+                        best_by_fam[fam] = cand
     if best is None:
         return {"feasible": False, "est_s": float("inf"), "slots": 0,
                 "m": 1, "t": 32, "planes": 8, "mode": "unit", "kblk": 1}
+    alts = [c for fam, c in best_by_fam.items()
+            if (c["mode"], c["m"], c["t"], c["planes"], c["kblk"])
+            != (best["mode"], best["m"], best["t"], best["planes"],
+                best["kblk"])]
+    if alts:
+        best["alt"] = min(alts, key=lambda c: c["est_s"])
     return best
 
 
@@ -445,11 +464,15 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
         p = _estimate_cols(rows_e, cols_e, len(cols_e), extra_s=extra_s,
                            mem_scale=s)
         if s > 1 and p["feasible"]:
-            p["est_s"] = s * (p["est_s"] - extra_s) + extra_s
-            p["slots"] = s * p["slots"]
-            p["sampled"] = s
-            for k in ("order", "sizes", "bases", "urows", "unit_ids"):
-                p.pop(k, None)            # sample-only layout: convert redoes
+            for q in (p,) + ((p["alt"],) if p.get("alt") else ()):
+                q["est_s"] = s * (q["est_s"] - extra_s) + extra_s
+                q["slots"] = s * q["slots"]
+                q["sampled"] = s
+                for k in ("order", "sizes", "bases", "urows", "unit_ids"):
+                    q.pop(k, None)        # sample-only layout: convert redoes
+        if p.get("alt"):
+            p["alt"].update(feasible=True, hub_cols=None, cols_eff=None,
+                            hub_off=0)
         return p
 
     plan = _est(cols0)
