@@ -23,16 +23,17 @@ DEFAULTS: Dict[str, float] = {
     "step_fixed_s": 0.35e-6,   # per-grid-step fixed cost (slab kernel family)
     "base_slot_s": 0.015e-9,   # per-slot floor (gather+mul, m=1)
     "sel_slot_s": 0.002e-9,    # per window member per slot (one-hot select)
-    "route_slot_s": 0.0068e-9,  # per sigma-plane per slot (r4 refit v2)
+    "route_slot_s": 0.004e-9,  # per sigma-plane per slot (r4 refit v3)
     "sel_entry_s": 0.0157e-9,  # one-hot select entry cost, any m > 1 (r4:
     #   raefsky3 blk-k1 m=1 ran 0.044 ns/slot vs m=8 0.076 — the select
     #   machinery costs ~0.016 to enter plus ~0.002/member)
-    "blk_route_s": 0.0015e-9,  # blk mode, per kblk plane (r4 refit v2)
-    "blk_fixed_s": 0.028e-9,   # blk mode, per-slot fixed route overhead
-    #   (r4 v2 fit incl. the m=1 row: sel = entry(m>1) + m*member;
-    #    route_blk = 0.028 + kblk*(0.0015 + planes*0.0003);
-    #    route_unit = planes*0.0068 — reproduces the driver-grade grid on
-    #    raefsky3/twotone/xenon2/lhr34/laminar/torso1 within ~7%)
+    "blk_route_s": 0.003e-9,   # blk mode, per kblk plane (r4 refit v3)
+    "blk_fixed_s": 0.006e-9,   # blk mode, per-slot fixed route overhead
+    #   (r4 v3 fit, STEP-FIXED-FREE rates — v2 double-counted the per-step
+    #    fixed cost inside the per-slot rates.  With sel = entry(m>1) +
+    #    m*member: route_blk = 0.006 + kblk*(0.003 + planes*0.0003),
+    #    route_unit = planes*0.004.  Reproduces the driver-grade kblk/T
+    #    grid on twotone/xenon2/lhr34/laminar/torso1 within ~2%)
     "scatter_rate": 0.14e9,    # XLA gather/scatter elements/s
     "lane_gather_rate": 5e9,   # fused CSS kernel stream elements/s
     "mxu_flops": 40e12,        # effective f32 batched-matmul flops/s

@@ -51,7 +51,9 @@ M_CANDS = (1, 8, 16, 32)   # window sizes are f32-sublane-aligned: pl.ds
 #                              unaligned path, ~3x slower per slot (r4 probe:
 #                              m=4 ran SLOWER than m=8); m=1 is a fast
 #                              special case
-T_CANDS = (32, 64, 128)
+T_CANDS = (32, 64, 128, 192, 256)   # large T halves step-fixed cost;
+#                                 the m*T<=1536 working-set cap keeps the
+#                                 select pipeline out of its >=2048-row cliff
 SPAN_CANDS = (1, 2)        # unit mode: units per output block (8/16 σ-planes)
 BLK_PLANES = (8, 16, 32)   # blk mode: 128-row blocks per output block
 PAD_LIMIT = 16.0           # slots / nnz refusal bound — generous: even a
@@ -302,11 +304,12 @@ def _estimate_cols(rows0, cols0, nnz, extra_s=0.0, fixed=None,
             if fixed is not None:
                 cands = [c for c in cands if c[1] == fixed["planes"]]
             for t in t_cands:
-                if m * t > 1024:
-                    # select working set (T·m·128 f32 ×3 buffers) past ~1.5MB
+                if m * t > 1536:
+                    # select working set (T·m·128 f32 ×3 buffers) past ~2MB
                     # serializes the pipeline (measured r4: twotone m16 T128
-                    # ran 0.142 ns/slot vs the 0.099 model; same cliff as
-                    # xch's M2_CAP)
+                    # = 2048 rows ran 0.142 ns/slot vs the 0.099 model; same
+                    # cliff as xch's M2_CAP.  1024 rows measured clean;
+                    # 1536 is the probe-backed boundary)
                     continue
                 for _, planes in cands:
                     if mode == "blk" and planes % kblk:
