@@ -240,6 +240,16 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
         for k in ("slab", "hyb", "bkt", "bkt_g", "ellg"):
             if k in costs:
                 costs[k] *= 1.35
+
+    # f64: TPUs have no f64 ALU — XLA software-emulates it, measured ~20-90x
+    # off the f32-rate models (r4 chip: csr f64 0.02 GFLOPS vs the 0.28 the
+    # f32 gather rate predicts; bsr 0.67 vs ~60).  css carries its own df64
+    # (2xf32) factor and is the only fast f64 path; penalize everything else
+    # so the planner (and the measured trial shortlist) reflects reality.
+    if cfg.dtype == "float64":
+        for k in costs:
+            if k != "css":
+                costs[k] *= 20.0
     return costs
 
 

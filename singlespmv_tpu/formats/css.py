@@ -139,13 +139,21 @@ def spmv(state: CSSState, x):
         from ..ops.pallas.blockgather import block_gather_scan_df
         from ..ops.segsum import combine_partials, extract_run_partials
 
+        import jax
+
         xp = jnp.zeros((state.n_xrow * LANES,), x.dtype)
         xp = xp.at[: state.n_col].set(x)
         xh, xl = df_split_device(xp)
-        sh, sl = block_gather_scan_df(
-            state.block_ids, state.col, state.val_hi, state.val_lo,
-            state.heads.astype(jnp.int32),
-            xh.reshape(state.n_xrow, LANES), xl.reshape(state.n_xrow, LANES))
+        # trace the Pallas call with x64 scoped OFF: under global x64,
+        # jnp.take_along_axis converts indices to the default int (int64),
+        # which Mosaic cannot lower ("64-bit types are not supported");
+        # every operand here is 32-bit by construction
+        with jax.enable_x64(False):
+            sh, sl = block_gather_scan_df(
+                state.block_ids, state.col, state.val_hi, state.val_lo,
+                state.heads.astype(jnp.int32),
+                xh.reshape(state.n_xrow, LANES),
+                xl.reshape(state.n_xrow, LANES))
         ph = extract_run_partials(sh, state.end_pos)
         plo = extract_run_partials(sl, state.end_pos)
         p64 = df_to_f64(ph, plo)
