@@ -32,7 +32,7 @@ LANES = 128
 
 @pytree_dataclass(meta=("n_row", "n_col", "nnz", "w", "h", "r_max", "variant",
                         "n_step", "step_counts", "sorted_combine",
-                        "n_block", "block_cols", "n_xrow"))
+                        "n_block", "block_cols", "n_xrow", "maxk_c"))
 class CSSState(ss.SSState):
     n_block: int = 1
     block_cols: int = 0
@@ -40,6 +40,13 @@ class CSSState(ss.SSState):
     block_ids: object = None  # (H,) int32 — x-table row per stream row (optimized)
     val_hi: object = None  # df64 path: (H, W) f32 hi plane (dtype=float64 +
     val_lo: object = None  # optimized — real f64 semantics on f32 hardware)
+    maxk_c: int = 0        # df64: longest per-row partial chain (tree depth)
+    pos_c: object = None   # df64: (P,) int32 flat run-end positions into the
+    #                        (H·W) stream, SORTED by destination row
+    rows_c: object = None  # (P,) int32 global rows (sorted; back-compat)
+    heads_c: object = None  # (P,) int32 — 1 at each row-segment head
+    end_idx: object = None  # (E,) int32 — last partial of each row segment
+    end_rows: object = None  # (E,) int32 — that segment's global row
 
 
 def convert(coo: COOMatrix, cfg: Config) -> CSSState:
@@ -119,6 +126,30 @@ def convert(coo: COOMatrix, cfg: Config) -> CSSState:
 
         vhi, vlo = df_from_f64(pval.reshape(base.h, base.w))
         d["val_hi"], d["val_lo"] = device_put(vhi), device_put(vlo)
+        # compacted, row-sorted combine index (true runs only): the f64
+        # combine becomes a segmented df64 log-tree over f32 pairs — no
+        # scatter-ADD at all (XLA-emulated f64 scatter ran 0.015 GFLOPS);
+        # the only f64 op left is one dense cast+add over n_row
+        ep = np.asarray(base.end_pos)
+        rr = np.asarray(base.rank_rows)
+        hi_i, ri_i = np.nonzero(rr != coo.n_row)
+        pos_flat = (hi_i.astype(np.int64) * base.w
+                    + ep[hi_i, ri_i]).astype(np.int32)
+        rows_flat = rr[hi_i, ri_i].astype(np.int64)
+        ord_ = np.argsort(rows_flat, kind="stable")
+        pos_s, rows_s = pos_flat[ord_], rows_flat[ord_]
+        heads = np.ones(len(rows_s), np.int32)
+        heads[1:] = (rows_s[1:] != rows_s[:-1]).astype(np.int32)
+        end_mask = np.ones(len(rows_s), bool)
+        end_mask[:-1] = rows_s[1:] != rows_s[:-1]
+        end_idx = np.flatnonzero(end_mask).astype(np.int32)
+        seg_lens = np.diff(np.concatenate([[0], end_idx + 1]))
+        d["maxk_c"] = int(seg_lens.max(initial=1))
+        d["pos_c"] = device_put(pos_s)
+        d["rows_c"] = device_put(rows_s.astype(np.int32))
+        d["heads_c"] = device_put(heads)
+        d["end_idx"] = device_put(end_idx)
+        d["end_rows"] = device_put(rows_s[end_mask].astype(np.int32))
     return CSSState(nnz=coo.nnz, n_block=n_block, block_cols=block_cols,
                     n_xrow=cdiv(max(coo.n_col, 1), LANES),
                     block_ids=device_put(blk_per_tile), **d)
@@ -154,6 +185,38 @@ def spmv(state: CSSState, x):
                 state.heads.astype(jnp.int32),
                 xh.reshape(state.n_xrow, LANES),
                 xl.reshape(state.n_xrow, LANES))
+        if state.heads_c is not None:
+            # segmented df64 log-tree over row-sorted partials (all f32):
+            # compensated cross-run combine with NO f64 scatter; the one
+            # remaining f64 op is the dense hi+lo add below
+            from ..ops import df64 as df
+
+            ph = jnp.take(sh.reshape(-1), state.pos_c)[None, :]
+            plo = jnp.take(sl.reshape(-1), state.pos_c)[None, :]
+            f = state.heads_c[None, :]
+            dstep = 1
+            while dstep < state.maxk_c:
+                vhz = jnp.concatenate(
+                    [jnp.zeros_like(ph[:, :dstep]), ph[:, :-dstep]], axis=1)
+                vlz = jnp.concatenate(
+                    [jnp.zeros_like(plo[:, :dstep]), plo[:, :-dstep]], axis=1)
+                fz = jnp.concatenate(
+                    [jnp.ones_like(f[:, :dstep]), f[:, :-dstep]], axis=1)
+                ah, al = df.df_add_sloppy(ph, plo, vhz, vlz)
+                keep = f > 0
+                ph = jnp.where(keep, ph, ah)
+                plo = jnp.where(keep, plo, al)
+                f = jnp.maximum(f, fz)
+                dstep *= 2
+            ph, plo = df.df_renorm(ph, plo)
+            th = jnp.take(ph[0], state.end_idx)
+            tl = jnp.take(plo[0], state.end_idx)
+            z = jnp.zeros((state.n_row,), jnp.float32)
+            yh = z.at[state.end_rows].set(th, mode="drop",
+                                          unique_indices=True)
+            yl = z.at[state.end_rows].set(tl, mode="drop",
+                                          unique_indices=True)
+            return yh.astype(x.dtype) + yl.astype(x.dtype)
         ph = extract_run_partials(sh, state.end_pos)
         plo = extract_run_partials(sl, state.end_pos)
         p64 = df_to_f64(ph, plo)

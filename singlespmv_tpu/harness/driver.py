@@ -127,6 +127,13 @@ def run_benchmark(
         log(f"Loading matrix {matrix} ...")
         coo = load_matrix(matrix, cfg)
 
+    # f64 contract: flip x64 HERE, before x placement — jnp.asarray under
+    # x64-off silently downcasts f64 to f32 (the r4 f64 campaign measured
+    # the df64 kernels with an f32 x because convert() flipped x64 only
+    # after xd was already placed)
+    if cfg.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
     if x is None:
         x = create_random_vector(coo.n_col)  # deterministic, seed 3 (main.cpp:18)
     # host-library baselines (hostlib/mkl) pin themselves to the CPU device:

@@ -122,7 +122,11 @@ def block_gather_scan(tile_block_ids: jax.Array, col: jax.Array, val: jax.Array,
     grid = (cdiv(h, BLOCK_ROWS),)
     spec = lambda: pl.BlockSpec((BLOCK_ROWS, w), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    # scoped x64-off: under global x64 (f64 harness runs) jnp index ops in
+    # the kernel trace pick int64, which Mosaic cannot lower; every operand
+    # here is 32-bit
+    with jax.enable_x64(False):
+        return pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((h, w), val.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -150,7 +154,11 @@ def block_gather_scan_df(tile_block_ids, col, val_hi, val_lo, heads,
     spec = lambda: pl.BlockSpec((BLOCK_ROWS, w), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((h, w), jnp.float32)
-    return pl.pallas_call(
+    # scoped x64-off: under global x64 (f64 harness runs) jnp index ops in
+    # the kernel trace pick int64, which Mosaic cannot lower; every operand
+    # here is 32-bit
+    with jax.enable_x64(False):
+        return pl.pallas_call(
         _df_kernel,
         out_shape=(shape, shape),
         grid_spec=pltpu.PrefetchScalarGridSpec(
