@@ -144,7 +144,10 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
     # measured step-cost model, including the hub-column appendix).
     from . import slab as slab_mod
 
-    if coo.nnz and not hyper_sparse and pallas_pkg.supports(cfg.np_dtype):
+    # slab serves f64 natively via the df64 unit kernel (r4) — supports()
+    # gates raw-f64 Pallas, which df64 never uses
+    slab_ok = pallas_pkg.supports(cfg.np_dtype) or cfg.dtype == "float64"
+    if coo.nnz and not hyper_sparse and slab_ok:
         est_sl = slab_mod.estimate(coo, cfg)
         if est_sl["feasible"]:
             costs["slab"] = est_sl["est_s"]
@@ -248,7 +251,7 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
     # so the planner (and the measured trial shortlist) reflects reality.
     if cfg.dtype == "float64":
         for k in costs:
-            if k != "css":
+            if k not in ("css", "slab", "slab2"):   # df64-native paths
                 costs[k] *= 20.0
     return costs
 

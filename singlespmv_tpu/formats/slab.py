@@ -124,6 +124,9 @@ class SlabState:
     #                        pg == planes collapses to one branch (the
     #                        convert sets this when nearly all planes are
     #                        active anyway — measured 5% overhead otherwise)
+    val_lo: object = None  # df64 (dtype=float64): k × (H_c, 128) f32 lo
+    #                        plane; val then holds the hi plane and spmv
+    #                        runs the compensated unit kernel (slab_spmv_df)
 
 
 # ----------------------------------------------------------------- packing ---
@@ -251,8 +254,12 @@ def _mode_cost(mode, planes, m, h, slots, t, extra_s, kblk=1):
     return extra_s + (h // t) * STEP_FIXED_S + max(dma, compute)
 
 
+DF_COST = 6.0   # df64 kernel per-slot multiplier vs f32 (two planes,
+#                 Dekker products, compensated trees instead of the MXU)
+
+
 def _estimate_cols(rows0, cols0, nnz, extra_s=0.0, fixed=None,
-                   mem_scale=1) -> dict:
+                   mem_scale=1, unit_only=False) -> dict:
     """Pick (mode, m, T, planes) by the measured step-cost model; exact slot
     accounting.  One lexsort per scope (unit / 128-row block); each window
     candidate m re-walks the sorted stream (the walk is T-independent).
@@ -270,6 +277,8 @@ def _estimate_cols(rows0, cols0, nnz, extra_s=0.0, fixed=None,
     t_cands = T_CANDS
     mode_cands = (("unit", 10, 1), ("blk", 7, 1),
                   ("blk", 8, 2), ("blk", 9, 4))
+    if unit_only:
+        mode_cands = (("unit", 10, 1),)
     if fixed is not None:
         mode_cands = tuple(mc for mc in mode_cands
                            if mc[0] == fixed["mode"] and
@@ -441,6 +450,8 @@ SAMPLE_NNZ = 16_000_000     # estimate on a 1/s row-unit sample past this —
 
 
 def estimate(coo: COOMatrix, cfg: Config) -> dict:
+    # f64 runs the df64 unit kernel: unit mode only, ~DF_COST x per slot
+    unit_only = cfg.dtype == "float64"
     if coo.nnz == 0 or coo.n_row == 0:
         return {"feasible": False, "est_s": 0.0, "slots": 0, "m": 1, "t": 32,
                 "hub_cols": None, "cols_eff": None, "hub_off": 0}
@@ -465,7 +476,7 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
             return {"feasible": False, "est_s": float("inf"), "slots": 0,
                     "m": 1, "t": 32, "mode": "unit", "planes": 8, "kblk": 1}
         p = _estimate_cols(rows_e, cols_e, len(cols_e), extra_s=extra_s,
-                           mem_scale=s)
+                           mem_scale=s, unit_only=unit_only)
         if s > 1 and p["feasible"]:
             for q in (p,) + ((p["alt"],) if p.get("alt") else ()):
                 q["est_s"] = s * (q["est_s"] - extra_s) + extra_s
@@ -478,19 +489,26 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
                             hub_off=0)
         return p
 
+    def _df_scale(pp):
+        if unit_only and pp.get("feasible"):
+            pp["est_s"] = pp["est_s"] * DF_COST
+            if pp.get("alt"):
+                pp["alt"]["est_s"] = pp["alt"]["est_s"] * DF_COST
+        return pp
+
     plan = _est(cols0)
     plan.update(hub_cols=None, cols_eff=None, hub_off=0)
     if plan["feasible"] and plan["slots"] <= 1.8 * coo.nnz:
-        return plan
+        return _df_scale(plan)
     degs = np.bincount(cols0, minlength=coo.n_col)
     hub_cols, cols_eff, off = _hub_relabel(cols0, degs, coo.n_col)
     if hub_cols is None:
-        return plan
+        return _df_scale(plan)
     plan2 = _est(cols_eff, extra_s=len(hub_cols) / HUB_GATHER_RATE)
     if plan2["feasible"] and plan2["est_s"] < plan["est_s"]:
         plan2.update(hub_cols=hub_cols, cols_eff=cols_eff, hub_off=off)
-        return plan2
-    return plan
+        return _df_scale(plan2)
+    return _df_scale(plan)
 
 
 def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
@@ -656,17 +674,26 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
     cb_pad = cb_tot + m
 
     # split the stream into SMEM-prefetch-sized chunks (one pallas_call each)
+    is_df = cfg.dtype == "float64"
     cz = _chunk_cuts(uids, n_steps, t_step, n_units)
     u_t, w_t, la_t, su_t, va_t, hm_t, ix_t, sg_t = \
         [], [], [], [], [], [], [], []
     s0_t, s1_t = [], []
+    vl_t = []
     for s0, s1, u0, _nu in cz:
         r0, r1 = s0 * t_step, s1 * t_step
         u_t.append(device_put((uids[s0:s1] - u0).astype(np.int32)))
         w_t.append(device_put(win_b[r0:r1]))
         la_t.append(device_put(lane[r0:r1]))
         su_t.append(device_put(sub[r0:r1]))
-        va_t.append(device_put(val[r0:r1]))
+        if is_df:
+            from ..ops.df64 import df_from_f64
+
+            vhi, vlo = df_from_f64(val[r0:r1])
+            va_t.append(device_put(vhi))
+            vl_t.append(device_put(vlo))
+        else:
+            va_t.append(device_put(val[r0:r1]))
         hm_t.append(device_put(hm1[r0:r1]))
         ix_t.append(device_put(idx[:, r0:r1]))
         if sig is not None:
@@ -689,7 +716,7 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> SlabState:
         sig=tuple(sg_t) if sig is not None else None,
         sg0=tuple(s0_t) if sg0_s is not None else None,
         sg1=tuple(s1_t) if sg0_s is not None else None,
-        pg=pg_route)
+        pg=pg_route, val_lo=tuple(vl_t) if is_df else None)
 
 
 def _empty_state(coo, cfg):
@@ -720,6 +747,8 @@ def spmv(state: SlabState, x):
     n = state.n_row
     if state.nnz == 0 or state.n_units == 0:
         return jnp.zeros((n,), x.dtype)
+    if state.val_lo is not None and x.dtype == jnp.float64:
+        return _spmv_df(state, x)
     if not pallas_pkg.supports(x.dtype):
         raise TypeError(
             "slab runs Pallas kernels: use float32/bfloat16 on TPU (f64 is "
@@ -771,6 +800,57 @@ def spmv(state: SlabState, x):
         zero = jnp.zeros((), x.dtype)
         yu = jnp.where(ok, out3[:, 0, :], zero)  # unwritten blocks: garbage
         hi = jnp.where(ok, out3[:, 1, :], zero)  # (NaN · 0 would stay NaN)
+        yu = yu + jnp.concatenate(
+            [jnp.zeros((1, UNIT_ROWS), yu.dtype), hi[:-1]], axis=0)
+    nu_tot = cdiv(max(n, 1), UNIT_ROWS)
+    y2 = jnp.zeros((nu_tot, UNIT_ROWS), x.dtype)
+    y2 = y2.at[state.unit_ids].set(yu, mode="drop", unique_indices=True)
+    return y2.reshape(-1)[:n]
+
+
+def _spmv_df(state: SlabState, x):
+    """df64 unit-mode SpMV: real f64 semantics on f32 hardware.
+
+    The value/x planes ride as (hi, lo) f32 pairs through the compensated
+    kernel (ops/pallas/slab.slab_spmv_df); the only f64 (XLA-emulated) work
+    is the final dense hi+lo assembly over n_row elements.  Reference f64
+    contract: src/util.h:7-39."""
+    import jax.numpy as jnp
+
+    from ..ops.df64 import df_split_device
+    from ..ops.pallas.slab import slab_spmv_df
+
+    n = state.n_row
+    xp = jnp.zeros((state.cb_pad * LANES,), x.dtype)
+    xp = xp.at[: state.n_col].set(x)
+    if state.hub_cols is not None:
+        app = jnp.take(x, state.hub_cols, axis=0)
+        xp = xp.at[state.hub_off: state.hub_off + app.shape[0]].set(app)
+    xh, xl = df_split_device(xp)
+    xh = xh.reshape(state.cb_pad, LANES)
+    xl = xl.reshape(state.cb_pad, LANES)
+    sg0s = state.sg0 or tuple(jnp.zeros_like(u) for u in state.uids)
+    sg1s = state.sg1 or tuple(jnp.full_like(u, state.planes - 1)
+                              for u in state.uids)
+    pairs = [
+        slab_spmv_df(u, s0, s1, w, la, su, vh, vl, h1, ix, xh, xl, nu_c,
+                     state.m, state.t_step, getattr(state, "pg", 2) or 2)
+        for u, s0, s1, w, la, su, vh, vl, h1, ix, nu_c in zip(
+            state.uids, sg0s, sg1s, state.win, state.lane, state.sub,
+            state.val, state.val_lo, state.hm1, state.idx, state.chunk_nu)]
+    oh = (pairs[0][0] if len(pairs) == 1
+          else jnp.concatenate([p[0] for p in pairs], axis=0))
+    ol = (pairs[0][1] if len(pairs) == 1
+          else jnp.concatenate([p[1] for p in pairs], axis=0))
+    out = oh.astype(x.dtype) + ol.astype(x.dtype)
+    if state.planes == 8:
+        yu = out.reshape(state.n_units, UNIT_ROWS)
+    else:
+        out3 = out.reshape(state.n_units, 2, UNIT_ROWS)
+        ok = state.lo_mask > 0
+        zero = jnp.zeros((), x.dtype)
+        yu = jnp.where(ok, out3[:, 0, :], zero)
+        hi = jnp.where(ok, out3[:, 1, :], zero)
         yu = yu + jnp.concatenate(
             [jnp.zeros((1, UNIT_ROWS), yu.dtype), hi[:-1]], axis=0)
     nu_tot = cdiv(max(n, 1), UNIT_ROWS)

@@ -345,3 +345,156 @@ def slab_spmv_blk(uids, win, lane, sub, val, hm1, idx, sig, x_table, nb: int,
             nb * planes * LANES * val.dtype.itemsize),
         interpret=_use_interpret(),
     )(uids, win, lane, sub, val, hm1, idx, sig, x_table)
+
+
+# ------------------------------------------------------------- df64 (f64) ---
+
+def _df_prefix_runs(vh, vl, hm1):
+    """df64 run totals: segmented shift-tree prefix + head-difference.
+
+    The f32 kernel uses one MXU triangle matmul for the inclusive prefix;
+    double-float can't ride the MXU, so the prefix is a log2(128)-step
+    shift tree of compensated adds, and W = P − P[hm1] is a df subtract.
+    Subtraction of two prefixes keeps ~2⁻⁴⁸ of the PREFIX magnitude — for
+    ≤128-slot rows that is orders below the f64 target precision."""
+    from ... import ops as _ops  # noqa: F401  (package anchor)
+    from ...ops import df64 as df
+
+    d = 1
+    ph, pl_ = vh, vl
+    while d < LANES:
+        zh = jnp.concatenate([jnp.zeros_like(ph[:, :d]), ph[:, :-d]], axis=1)
+        zl = jnp.concatenate([jnp.zeros_like(pl_[:, :d]), pl_[:, :-d]],
+                             axis=1)
+        ph, pl_ = df.df_add_sloppy(ph, pl_, zh, zl)
+        d *= 2
+    h = hm1.astype(jnp.int32)
+    hh = jnp.take_along_axis(ph, jnp.maximum(h, 0), axis=1)
+    hl = jnp.take_along_axis(pl_, jnp.maximum(h, 0), axis=1)
+    mask = h >= 0
+    hh = jnp.where(mask, hh, 0.0)
+    hl = jnp.where(mask, hl, 0.0)
+    wh, wl = df.df_add_sloppy(ph, pl_, -hh, -hl)
+    return df.df_renorm(wh, wl)
+
+
+def _slab_df_kernel(uids_ref, sg0_ref, sg1_ref, win_ref, lane_ref, sub_ref,
+                    valh_ref, vall_ref, hm1_ref, idx_ref, xh_ref, xl_ref,
+                    outh_ref, outl_ref, *, m: int, planes: int, pg: int = 2):
+    """df64 unit-mode slab: every value plane rides as an (hi, lo) f32 pair.
+
+    Same layout contract as _slab_kernel; gather/select run per plane pair,
+    products use Dekker two-product, run totals the segmented df tree, and
+    the out blocks accumulate with compensated adds (a plain f32 `+=` would
+    re-round once per step, ~k·2⁻²⁴ for a unit's k steps)."""
+    from ...ops import df64 as df
+
+    t = pl.program_id(0)
+
+    first = jnp.logical_or(
+        t == 0, uids_ref[jnp.maximum(t, 1)] != uids_ref[jnp.maximum(t, 1) - 1])
+
+    @pl.when(first)
+    def _():
+        outh_ref[:] = jnp.zeros_like(outh_ref)
+        outl_ref[:] = jnp.zeros_like(outl_ref)
+
+    T = lane_ref.shape[0]
+    winsh = [xh_ref[pl.ds(win_ref[t * T + r], m), :] for r in range(T)]
+    winsl = [xl_ref[pl.ds(win_ref[t * T + r], m), :] for r in range(T)]
+    wsh = jnp.concatenate(winsh, axis=0) if T > 1 else winsh[0]
+    wsl = jnp.concatenate(winsl, axis=0) if T > 1 else winsl[0]
+    lane = lane_ref[:].astype(jnp.int32)
+    if m == 1:
+        gh = jnp.take_along_axis(wsh, lane, axis=1)
+        gl = jnp.take_along_axis(wsl, lane, axis=1)
+    else:
+        lane_m = jnp.broadcast_to(lane[:, None, :], (T, m, LANES)
+                                  ).reshape(T * m, LANES)
+        tkh = jnp.take_along_axis(wsh, lane_m, axis=1).reshape(T, m, LANES)
+        tkl = jnp.take_along_axis(wsl, lane_m, axis=1).reshape(T, m, LANES)
+        sub = sub_ref[:].astype(jnp.int32)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (T, m, LANES), 1)
+        sel = srow == sub[:, None, :]
+        gh = jnp.sum(jnp.where(sel, tkh, 0.0), axis=1)
+        gl = jnp.sum(jnp.where(sel, tkl, 0.0), axis=1)
+    vh, vl = df.df_mul(valh_ref[:], vall_ref[:], gh, gl)
+    wh, wl = _df_prefix_runs(vh, vl, hm1_ref[:])
+
+    def _plane_block(g0, n_p):
+        outs_h, outs_l = [], []
+        for sigma in range(g0, g0 + n_p):
+            e = idx_ref[sigma].astype(jnp.int32)
+            valid = e >= 0
+            pick_h = jnp.take_along_axis(wh, jnp.where(valid, e, 0), axis=1)
+            pick_l = jnp.take_along_axis(wl, jnp.where(valid, e, 0), axis=1)
+            ah = jnp.where(valid, pick_h, 0.0)
+            al = jnp.where(valid, pick_l, 0.0)
+            # compensated T-row reduction: log tree over axis 0
+            d = 1
+            while d < ah.shape[0]:
+                zh = jnp.concatenate(
+                    [ah[d:], jnp.zeros_like(ah[:d])], axis=0)
+                zl = jnp.concatenate(
+                    [al[d:], jnp.zeros_like(al[:d])], axis=0)
+                ah, al = df.df_add_sloppy(ah, al, zh, zl)
+                d *= 2
+            outs_h.append(ah[:1])
+            outs_l.append(al[:1])
+        ch = (jnp.concatenate(outs_h, axis=0) if n_p > 1 else outs_h[0])
+        cl = (jnp.concatenate(outs_l, axis=0) if n_p > 1 else outs_l[0])
+        return ch, cl
+
+    for g0 in range(0, planes, pg):
+        n_p = min(pg, planes - g0)
+
+        @pl.when(jnp.logical_and(sg0_ref[t] < g0 + n_p, sg1_ref[t] >= g0))
+        def _(g0=g0, n_p=n_p):
+            from ...ops import df64 as _df
+
+            ch, cl = _plane_block(g0, n_p)
+            oh = outh_ref[g0:g0 + n_p, :]
+            ol = outl_ref[g0:g0 + n_p, :]
+            nh, nl = _df.df_add_sloppy(oh, ol, ch, cl)
+            outh_ref[g0:g0 + n_p, :] = nh
+            outl_ref[g0:g0 + n_p, :] = nl
+
+
+def slab_spmv_df(uids, sg0, sg1, win, lane, sub, val_hi, val_lo, hm1, idx,
+                 xh_table, xl_table, nu: int, m: int, T: int = 64,
+                 pg: int = 2):
+    """df64 unit-mode slab SpMV: returns (hi, lo) f32 planes of shape
+    (nu·planes, 128); the caller assembles y = hi + lo in f64."""
+    h = lane.shape[0]
+    n_steps = h // T
+    planes = idx.shape[0]
+    spec8 = lambda: pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
+                                 memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((nu * planes, LANES), jnp.float32)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_slab_df_kernel, m=m, planes=planes, pg=pg),
+            out_shape=(shape, shape),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(n_steps,),
+                in_specs=[
+                    spec8(), spec8(), spec8(), spec8(), spec8(),
+                    pl.BlockSpec((planes, T, LANES), lambda t, *_: (0, t, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=(pl.BlockSpec((planes, LANES),
+                                        lambda t, u, s0, s1, w: (u[t], 0),
+                                        memory_space=pltpu.VMEM),
+                           pl.BlockSpec((planes, LANES),
+                                        lambda t, u, s0, s1, w: (u[t], 0),
+                                        memory_space=pltpu.VMEM)),
+            ),
+            compiler_params=_vmem_params(
+                xh_table, T * LANES * (11 + planes),
+                2 * nu * planes * LANES * 4),
+            interpret=_use_interpret(),
+        )(uids, sg0, sg1, win, lane, sub, val_hi, val_lo, hm1, idx,
+          xh_table, xl_table)

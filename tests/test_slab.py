@@ -5,6 +5,8 @@ The slab kernel fuses gather/multiply/run-reduce/route in one Pallas pass
 classes it must own (band, powerlaw, hyper-sparse, block FEM), round-trip,
 pad accounting, and the (m, T) planner behavior.
 """
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -218,3 +220,29 @@ def test_slab_spmm_panel_matches_vmap(planes):
     np.testing.assert_array_equal(Y, Yv)
     ref = coo.to_dense().astype(np.float64) @ X.astype(np.float64)
     np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-5)
+
+
+def _dense(coo):
+    d = np.zeros((coo.n_row, coo.n_col))
+    np.add.at(d, (np.asarray(coo.row), np.asarray(coo.col)), np.asarray(coo.val))
+    return d
+
+
+def test_slab_df64_semantics():
+    """dtype=float64 runs the df64 (2xf32) unit kernel with true f64
+    precision — errors orders below the 1e-6 verify bar (r4; the r3 df64
+    path existed only in css)."""
+    rng = np.random.default_rng(7)
+    nnz = 20000
+    coo = COOMatrix.from_triplets(
+        2000, 1500, rng.integers(0, 2000, nnz), rng.integers(0, 1500, nnz),
+        rng.uniform(-1, 2, nnz), sort=True)
+    cfg = F32.replace(dtype="float64")
+    st = convert(coo, cfg)
+    assert st.val_lo is not None and st.mode == "unit"
+    x = rng.uniform(-1, 1, coo.n_col)
+    y = np.asarray(jax.jit(spmv_fn(cfg))(st, jnp.asarray(x)))
+    ref = _dense(coo) @ x
+    err = np.abs(y - ref)
+    rel = err / np.maximum(np.abs(ref), 1e-30)
+    assert (np.minimum(err, rel) < 1e-9).all(), (err.max(), rel.max())
