@@ -33,18 +33,32 @@ def main():
     float(np.asarray(jax.numpy.ones((8,)))[0])
     log(f"canary readback ok in {time.time() - t0:.1f}s")
 
-    def time_chained(fn, state, arg, loop=48):
+    def time_chained(fn, state, arg, cal_s=0.35, trials=5):
+        # driver-grade: calibrate the loop count to >=cal_s windows, then
+        # best-of-N marginal (sub-50ms windows are tunnel-noise-dominated)
+        import jax.numpy as jnp
         runner = make_chained_runner(fn, arg)
-        sync(runner(state, arg, 1))
-        half = loop // 2
-        t0 = time.time()
-        sync(runner(state, arg, half))
-        t1 = time.time()
-        sync(runner(state, arg, loop))
-        t2 = time.time()
-        margin = (t2 - t1) - (t1 - t0)
-        return margin / (loop - half) if margin > 0 else \
-            (t2 - t0) / (loop + half)
+        sync(runner(state, arg, jnp.int32(1)))
+        loop = 1
+        while loop < (1 << 20):
+            t0 = time.time()
+            sync(runner(state, arg, jnp.int32(loop)))
+            if time.time() - t0 >= cal_s:
+                break
+            loop *= 2
+        best = float("inf")
+        for _ in range(trials):
+            half = max(loop // 2, 1)
+            t0 = time.time()
+            sync(runner(state, arg, jnp.int32(half)))
+            t1 = time.time()
+            sync(runner(state, arg, jnp.int32(loop)))
+            t2 = time.time()
+            margin = (t2 - t1) - (t1 - t0)
+            per = margin / (loop - half) if margin > 0 else \
+                (t2 - t0) / (loop + half)
+            best = min(best, per)
+        return best
 
     cases = [
         ("synth-raefsky3", lambda: synthesize_structured("raefsky3", seed=0),
@@ -88,6 +102,28 @@ def main():
                          f"{sec * 1e6:>9.1f} {gf:>8.1f} {ratio:>9.2f}")
             log(lines[-1])
             del st
+    # raefsky3 is 8x8-block FEM: the MXU path wants 16-row blocks (2 FEM
+    # blocks per MXU tile row).  Measured r4: rb=16 B=8 hits 214 GFLOPS =
+    # 4.2x the best SpMV (blk-m1 slab, 58.9 us) — the SURVEY §7.6 panel bar.
+    from singlespmv_tpu.formats import bsr as bsr_mod
+
+    coo = synthesize_structured("raefsky3", seed=0)
+    cfg16 = Config(format="bsr", dtype="float32", row_block=16)
+    st16 = bsr_mod.convert(coo, cfg16)
+    sec0 = None
+    for line in lines:
+        if line.startswith("synth-raefsky3") and "spmv:" in line:
+            sec0 = float(line.split()[3]) * 1e-6
+    for b in (8, 32):
+        X = jax.numpy.asarray(np.random.default_rng(3).uniform(
+            size=(coo.n_col, b)).astype(np.float32))
+        sec = time_chained(bsr_mod.spmm, st16, X)
+        gf = 2 * coo.nnz * b / sec / 1e9
+        ratio = (b / sec) * sec0 if sec0 else float("nan")
+        lines.append(f"{'synth-raefsky3':<18} {'spmm:bsr16':<10} {b:>4} "
+                     f"{sec * 1e6:>9.1f} {gf:>8.1f} {ratio:>9.2f}")
+        log(lines[-1])
+
     txt = "\n".join(lines) + "\n"
     with open("results/r4_tpu_spmm.txt", "w") as f:
         f.write(txt)
