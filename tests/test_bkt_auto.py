@@ -106,10 +106,14 @@ class TestBKT:
 
 class TestAuto:
     @pytest.mark.parametrize("name,make,expect", [
-        ("band", lambda: generate("band", 2048, 16, seed=1), {"dia"}),
+        # r4: at dtype=float64 the df64 slab kernel legitimately beats
+        # XLA-emulated dia (the auto costs carry a measured ~20x f64
+        # emulation penalty on the non-df64 formats)
+        ("band", lambda: generate("band", 2048, 16, seed=1),
+         {"dia", "slab", "slab2"}),
         ("dense", lambda: generate("dense", 256, seed=2), {"dense", "bsr"}),
         ("powerlaw", lambda: powerlaw(4096, 4096 * 24, seed=3),
-         {"bkt", "bkt_g", "bsr", "dense", "slab"}),
+         {"bkt", "bkt_g", "bsr", "dense", "slab", "slab2"}),
     ], ids=["band", "dense", "powerlaw"])
     def test_choice_and_correctness(self, name, make, expect):
         import jax
