@@ -220,7 +220,7 @@ def run_benchmark(
 
     tracer = (jax.profiler.trace(trace_dir) if trace_dir
               else contextlib.nullcontext())
-    best = float("inf")
+    pers = []
     with tracer:
         for _ in range(n_trials):
             if loop >= 8:
@@ -241,7 +241,13 @@ def run_benchmark(
                 t0 = now()
                 sync(run_n(state, xd, loop))
                 per = (now() - t0) / loop
-            best = min(best, per)
+            pers.append(per)
+
+    # MEDIAN of trials, not min: a tunnel hiccup during a HALF run shrinks
+    # that trial's margin and fabricates a too-good number that min() then
+    # keeps (r4: cage15 read 43.7 GFLOPS once vs 6.5 reproducible — a 6.8x
+    # phantom).  The median tolerates hiccups in either direction.
+    best = float(np.median(pers)) if pers else float("inf")
 
     flops = 2.0 * coo.nnz                        # main.cpp:196 / CSR5 utils.h:17-20
     gflops = flops / best / 1e9 if best > 0 else 0.0
