@@ -50,7 +50,7 @@ from .base import device_put, pytree_dataclass
 from .slab import _walk
 
 LANES = 128
-STATE_REV = 3               # bump when layout/planning changes (cache key)
+STATE_REV = 4               # bump when layout/planning changes (cache key)
 X_TABLE_CAP = 96 << 20      # VMEM-resident x table bound (v5e, as slab)
 P1_CAP_ROWS = 12288         # chunk product block ≤ 6 MB VMEM (12288·128·4B)
 M_MAX = 120                 # int8 sub index headroom
@@ -80,13 +80,21 @@ from ..core import chipconst as _cc
 MUL_FIXED_S = 0.15e-6
 ROUTE_FIXED_S = 0.45e-6
 BLOCK_SWITCH_S = 4e-6       # per out/source block change (pipeline flush)
-BASE_SLOT_S = 0.012e-9
-SEL_SLOT_S = 0.003e-9                   # per window member per slot
+BASE_SLOT_S = 0.013e-9
+SEL_ENTRY_S = 0.0157e-9                 # one-hot select entry cost (m > 1)
+SEL_SLOT_S = 0.002e-9                   # per window member per slot
+#   (r4 v3 decomposition, shared with slab: mul m=8 measured 0.041 ns/slot
+#    = base + entry + 8·member; the old flat 0.012+0.003m underpriced small
+#    windows and left ASIC's pass-1 at fill 0.36 — m1=16 measured +11%)
 # route σ cost, refit from the r4 pg-sweep (scripts/probe_xch_route2.py,
 # pg=8: p8m8 0.166, p16m8 0.233, p32m8 0.357 ns/slot; act=.5 at p32 saved
 # 0.09): a plane costs DMA+issue whether pruned or not, compute only when
 # in the step's active [sg0, sg1] range
 ROUTE_BASE_S = 0.078e-9                 # run-total + write, per slot
+ROUTE_SEL_S = 0.003e-9                  # pass-2 select, per member (the
+#                                         route's live state is bigger than
+#                                         the mul's: m8→m24 measured
+#                                         +0.0027/member on the pg sweep)
 ROUTE_DMA_S = 0.0025e-9                 # per out plane (incl. pruned)
 ROUTE_CMP_S = 0.0055e-9                 # per ACTIVE plane (gather+mask+sum)
 ROUTE_SLOT_S = ROUTE_DMA_S + ROUTE_CMP_S   # back-compat aggregate
@@ -265,12 +273,13 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
         n_grp = max(n_r / scope, 1.0) + nnz / k_slots
         slots2 = 1.1 * nnz + n_grp * (t2 / 2) * LANES
         slots1 = 1.05 * nnz
-        per1 = BASE_SLOT_S + m1 * SEL_SLOT_S
+        per1 = (BASE_SLOT_S + (SEL_ENTRY_S if m1 > 1 else 0.0)
+                + m1 * SEL_SLOT_S)
         deg = nnz / n_r
         n_chunks_e = max(nnz / k_slots, 1.0)
         avg_run = max(deg / min(n_chunks_e, max(deg, 1.0)), 1.0)
         act = min(planes, t2 / avg_run + 1.0)   # active σ planes per step
-        per2 = (ROUTE_BASE_S + m2 * SEL_SLOT_S
+        per2 = (ROUTE_BASE_S + m2 * ROUTE_SEL_S
                 + 2 * planes * ROUTE_DMA_S + act * ROUTE_CMP_S
                 + 3.0 / HBM_BPS)
         switches = n_r / scope / G_GRP + 2.0 * nnz / k_slots
@@ -322,7 +331,8 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
     m1, t1, sizes1, bases1, crows1 = _best_walk(
         cols_s, chunk_starts, (32, 64, 128) if not p.get("t1_fix") else
         (p["t1_fix"],), MUL_FIXED_S,
-        lambda m: BASE_SLOT_S + m * SEL_SLOT_S, _pad1,
+        lambda m: (BASE_SLOT_S + (SEL_ENTRY_S if m > 1 else 0.0)
+                   + m * SEL_SLOT_S), _pad1,
         m_override=p.get("m1_fix"),
         extra_cands=(round(coo.n_col / k_slots) + 1,))
 
@@ -424,7 +434,7 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
             for sp_c in span_cands:
                 h_c = _pad_cost(wk[2], t_c, sp_c, chunk_e) * stride
                 act = min(sp_c * planes, t_c / max(avg_run, 1.0) + 1.0)
-                per = (ROUTE_BASE_S + m_c * SEL_SLOT_S
+                per = (ROUTE_BASE_S + m_c * ROUTE_SEL_S
                        + sp_c * planes * ROUTE_DMA_S + act * ROUTE_CMP_S
                        + 3.0 / HBM_BPS)
                 sec = (h_c / t_c) * ROUTE_FIXED_S + h_c * LANES * per
