@@ -316,7 +316,11 @@ TRIAL_MAX = 3                # at most this many measured candidates
 
 
 def _quick_bench(mod, state, n_col, dtype) -> float:
-    """Seconds per spmv, driver-grade chained-loop marginal (2 trials)."""
+    """Seconds per spmv — MEDIAN of 3 chained-loop marginals at ≥0.35 s
+    windows (the driver's r4 methodology, harness/driver.py:246-250): a
+    min of short-window marginals lets one tunnel hiccup fabricate a
+    too-good number that auto then persists as a permanent mispick
+    (r4: cage15 read a 6.8× phantom through exactly this path)."""
     import time as _time
 
     import jax
@@ -331,11 +335,11 @@ def _quick_bench(mod, state, n_col, dtype) -> float:
     while loop < (1 << 16):
         t0 = _time.perf_counter()
         sync(run_n(state, x, jnp.int32(loop)))
-        if _time.perf_counter() - t0 >= 0.1:
+        if _time.perf_counter() - t0 >= 0.35:
             break
         loop *= 2
-    best = float("inf")
-    for _ in range(2):
+    pers = []
+    for _ in range(3):
         half = max(loop // 2, 1)
         t0 = _time.perf_counter()
         sync(run_n(state, x, jnp.int32(half)))
@@ -345,8 +349,8 @@ def _quick_bench(mod, state, n_col, dtype) -> float:
         margin = (t2 - t1) - (t1 - t0)
         per = margin / (loop - half) if margin > 0 else \
             (t2 - t0) / (loop + half)
-        best = min(best, per)
-    return best
+        pers.append(per)
+    return float(np.median(pers))
 
 
 def convert(coo: COOMatrix, cfg: Config, log=None) -> AutoState:

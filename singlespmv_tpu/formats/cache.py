@@ -91,12 +91,22 @@ def fingerprint(coo, cfg: Config) -> dict:
         {k: v for k, v in dataclasses.asdict(cfg).items()
          if k in _CONVERT_FIELDS}))
     # per-format layout revision: a format module bumps STATE_REV when its
-    # convert layout/planning changes, invalidating stale cached states
+    # convert layout/planning changes, invalidating stale cached states.
+    # format=auto wraps ANY inner engine, so its rev must fold every
+    # registered engine's rev — otherwise an inner bump (r4: xch 3→4)
+    # leaves a cached auto state that chose that engine valid and a future
+    # layout-contract change silently reuses an incompatible state.
     try:
         mod = importlib.import_module(f".{cfg.format}", __package__)
         rev = getattr(mod, "STATE_REV", 0)
     except ImportError:
         rev = 0
+    if cfg.format == "auto":
+        from .auto import _MODULES
+
+        rev = {"auto": rev}
+        for name, m in sorted(_MODULES.items()):
+            rev[name] = getattr(m, "STATE_REV", 0)
     return {"n_row": coo.n_row, "n_col": coo.n_col, "nnz": coo.nnz,
             "digest": h.hexdigest(), "config": cfg_d, "rev": rev}
 

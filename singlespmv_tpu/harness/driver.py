@@ -130,9 +130,25 @@ def run_benchmark(
     # f64 contract: flip x64 HERE, before x placement — jnp.asarray under
     # x64-off silently downcasts f64 to f32 (the r4 f64 campaign measured
     # the df64 kernels with an f32 x because convert() flipped x64 only
-    # after xd was already placed)
+    # after xd was already placed).  The prior setting is restored on exit
+    # (the finally below): a leaked global x64 makes a LATER f32 benchmark
+    # in the same process trace Pallas kernels under x64, which Mosaic
+    # cannot lower (int64 iota) — the css/blockgather scoping bug class.
+    x64_prev = jax.config.jax_enable_x64
     if cfg.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+    try:
+        return _run_benchmark_inner(
+            matrix, cfg, coo=coo, mat_name=mat_name, x=x, quick=quick,
+            trace_dir=trace_dir, cache_dir=cache_dir, log=log)
+    finally:
+        if cfg.dtype == "float64":
+            jax.config.update("jax_enable_x64", x64_prev)
+
+
+def _run_benchmark_inner(matrix, cfg, *, coo, mat_name, x, quick,
+                         trace_dir, cache_dir, log):
+    import jax
 
     if x is None:
         x = create_random_vector(coo.n_col)  # deterministic, seed 3 (main.cpp:18)
@@ -185,7 +201,12 @@ def run_benchmark(
                     if not ok:
                         log(f"VERIFY FAILED (pass {trial}): {vdetails}")
             break
-        except RuntimeError as e:
+        # ValueError/TypeError join RuntimeError/MemoryError here (r4
+        # ADVICE): a candidate can refuse at jit-trace time with a guard
+        # ValueError (slab sampled-plan infeasibility, xch dtype guard
+        # TypeError) — under format=auto those must re-plan with the
+        # candidate excluded, exactly like a device OOM.
+        except (ValueError, TypeError, RuntimeError, MemoryError) as e:
             chosen = getattr(state, "chosen", None)
             if cfg.format != "auto" or chosen is None or _attempt == 3:
                 raise

@@ -47,6 +47,53 @@ class TestDriver:
         assert "nStep" in res.report
         assert any(k.startswith("PhaseTime-") for k in res.report)
 
+    def test_auto_replans_when_top_candidate_raises_at_convert(
+            self, monkeypatch):
+        # r4 VERDICT #6: the top-ranked candidate raising at CONVERT time
+        # (slab's sampled-plan ValueError class) must fall through to the
+        # next candidate, not hard-fail the benchmark.
+        from singlespmv_tpu.formats import auto as auto_mod
+
+        coo = generate("random", 128, 900, seed=6)
+        orig_costs = auto_mod.estimate_costs
+
+        def rigged(coo_, cfg_, plans=None, _inner=False):
+            costs = orig_costs(coo_, cfg_, plans=plans, _inner=_inner)
+            costs["slab"] = min(costs.values()) / 10.0  # force top rank
+            if plans is not None:
+                plans.pop("slab", None)
+            return costs
+
+        def boom(coo_, cfg_, plan=None):
+            raise ValueError("synthetic convert failure")
+
+        monkeypatch.setattr(auto_mod, "estimate_costs", rigged)
+        monkeypatch.setattr(auto_mod._MODULES["slab"], "convert", boom)
+        cfg = Config(format="auto", dtype="float64")
+        res = run_benchmark(coo, cfg, quick=True, log=quiet)
+        assert res.verify_ok
+        assert res.report["ChosenFormat"] != "SLAB"
+
+    def test_driver_excludes_candidate_failing_at_first_run(
+            self, monkeypatch):
+        # A candidate that converts fine but raises a NON-RuntimeError at
+        # its first spmv (TypeError guard class) must be excluded and the
+        # benchmark re-planned (r4 ADVICE: driver caught RuntimeError only).
+        from singlespmv_tpu.formats import auto as auto_mod
+
+        coo = generate("random", 128, 900, seed=7)
+        cfg = Config(format="auto", dtype="float64")
+        first = auto_mod.convert(coo, cfg)
+        bad = first.chosen
+
+        def boom_spmv(state, x):
+            raise TypeError("synthetic first-run failure")
+
+        monkeypatch.setattr(auto_mod._MODULES[bad], "spmv", boom_spmv)
+        res = run_benchmark(coo, cfg, quick=True, log=quiet)
+        assert res.verify_ok
+        assert res.report["ChosenFormat"] != bad.upper()
+
     def test_verify_catches_bad_result(self, monkeypatch):
         # A format whose spmv is wrong must be flagged, not crash.
         from singlespmv_tpu.formats import coo as coo_fmt
