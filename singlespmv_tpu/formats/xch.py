@@ -41,6 +41,8 @@ replaced by static σ-plane routing computed at convert time.
 """
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from ..config import Config
@@ -50,7 +52,7 @@ from .base import device_put, pytree_dataclass
 from .slab import _walk
 
 LANES = 128
-STATE_REV = 4               # bump when layout/planning changes (cache key)
+STATE_REV = 5               # bump when layout/planning changes (cache key)
 X_TABLE_CAP = 96 << 20      # VMEM-resident x table bound (v5e, as slab)
 P1_CAP_ROWS = 12288         # chunk product block ≤ 6 MB VMEM (12288·128·4B)
 M_MAX = 120                 # int8 sub index headroom
@@ -160,6 +162,60 @@ class XchState:
     #                         skips plane groups outside it.
 
 
+@pytree_dataclass(meta=("n_row", "n_col", "nnz", "m1", "m2", "t1", "t2",
+                        "kblk", "p_oh", "gb", "n_chunks", "p1", "cb_pad",
+                        "n_slots1", "n_slots2", "chunk_ngrp", "long_n"))
+class Xch4State:
+    """v4 blk-routed exchange (r5) — see ops/pallas/xch.py:_xch_route4_kernel.
+
+    Pass-2 slots sort by (chunk, band, src) with band = row >> bs
+    (kblk = 2^(bs-7) blocks): a stream row's runs stay inside one band, so
+    ``kblk`` end-lane planes replace v3's span·planes σ-planes, and a
+    (p_oh, T) one-hot routes rows to blocks on the MXU.  Output groups of
+    ``gb`` 128-row blocks tile the row space directly (no bucket
+    compaction): y is the concatenated out grid masked by visited groups.
+    ``long``: optional nested Xch4State over the compacted long-row
+    submatrix (rows with deg ≥ the plan threshold) — their exchange
+    constant K = n_long·n_col/(128·nnz_long) is ~100× smaller, the
+    r5 fast-track analog of CSR5's single-row tiles."""
+    n_row: int
+    n_col: int
+    nnz: int
+    m1: int
+    m2: int
+    t1: int
+    t2: int
+    kblk: int
+    p_oh: int
+    gb: int
+    n_chunks: int
+    p1: int
+    cb_pad: int
+    n_slots1: int
+    n_slots2: int
+    chunk_ngrp: tuple        # out groups per pass-2 call chunk
+    long_n: int              # number of long rows split out (0 = none)
+    # pass 1 (call-chunk tuples, as v3)
+    win1: object
+    lane1: object
+    sub1: object
+    val1: object
+    # pass 2 (per-call-chunk tuples)
+    gids2: object            # k × (S_c,) int32 — call-local out group/step
+    off2: object             # k × (S_c,) int32 — step base block − gid·gb
+    cs2: object              # k × (S_c,) int32 — source chunk per step
+    win2: object             # k × (H_c,) int32 — chunk-local product row base
+    lane2: object            # k × (H_c, 128) int8
+    sub2: object             # k × (H_c, 128) int8
+    hm2: object              # k × (H_c, 128) int8
+    sig2: object             # k × (H_c, 128) int8 — band base block − step
+    #                          base block, lane-replicated
+    idx2: object             # k × (kblk, H_c, 128) int8 — end lanes, −1 mask
+    vis_gids: object         # (n_vis,) int32 — visited out groups, ascending
+    long: object = None      # nested Xch4State on the long-row submatrix
+    long_rows: object = None  # (long_n,) int32 — original row ids
+
+
 # ---------------------------------------------------------------- planning ---
 
 def _span_quantiles(sorted_keys, group_starts,
@@ -245,7 +301,7 @@ def _best_walk(keys, starts, t_cands, fixed_s, per_slot_s, pad_h,
     return m, t, best[3], best[4], best[5]
 
 
-def estimate(coo: COOMatrix, cfg: Config) -> dict:
+def estimate_v3(coo: COOMatrix, cfg: Config) -> dict:
     """Closed-form plan (no sorts): scope, K, predicted m1/m2 and cost.
 
     The exact m's come from span quantiles at convert; here the uniform-mix
@@ -301,11 +357,11 @@ def estimate(coo: COOMatrix, cfg: Config) -> dict:
 
 # ----------------------------------------------------------------- convert ---
 
-def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
+def _convert_v3(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
     dtype = cfg.np_dtype
     if coo.nnz == 0 or coo.n_row == 0:
         return _empty_state(coo, cfg)
-    p = plan or estimate(coo, cfg)
+    p = plan or estimate_v3(coo, cfg)
     if not p["feasible"]:
         raise ValueError("xch: infeasible (x table exceeds VMEM cap)")
     planes, t1, t2 = p["planes"], p["t1"], p["t2"]
@@ -573,6 +629,526 @@ def convert(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
         sg0_2=tuple(s0_t), sg1_2=tuple(s1_t))
 
 
+# ------------------------------------------------------------- v4 convert ---
+
+# v4 route-kernel rates, fitted on the r5 chip probe (scripts/probe_xch_v4.py,
+# chained on-device loops, median of 3):
+#   (m=8, kblk=2, p_oh=8,  T=128): 0.0775 ns/slot
+#   (m=8, kblk=4, p_oh=16, T=128): 0.0964
+#   (m=8, kblk=8, p_oh=16, T=64):  0.1495
+#   (m=16, kblk=16, p_oh=16, T=64): 0.2309   (v3 same shapes: 0.1955)
+R4_BASE_S = 0.030e-9        # run totals + write + window entry
+R4_SEL_S = 0.006e-9         # per window member (select + pick share)
+R4_KBLK_S = 0.0095e-9       # per idx plane (pick + one-hot matmul + stream)
+R4_POH_S = 0.0004e-9        # per one-hot output row
+R4_FIXED_S = 0.28e-6        # per grid step
+X4_GB = 1024                # out-group blocks (512 KB f32 out block)
+LONG_DEG = 128              # long-row split threshold (deg ≥ this)
+LONG_MIN_SHARE = 0.06       # split only when long rows hold ≥ this nnz share
+
+
+def _r4_route_slot_s(m, kblk, p_oh):
+    return (R4_BASE_S + m * R4_SEL_S + kblk * R4_KBLK_S + p_oh * R4_POH_S
+            + 7.0 / HBM_BPS)
+
+
+def _r4_mul_slot_s(m):
+    return (BASE_SLOT_S + (SEL_ENTRY_S if m > 1 else 0.0) + m * SEL_SLOT_S
+            + 10.0 / HBM_BPS)
+
+
+def _split_long_rows(rows0, cols0, vals0, n_row, deg_thresh):
+    """Partition nnz by row degree; returns (mask_long, long_row_ids)."""
+    deg = np.bincount(rows0, minlength=n_row)
+    long_ids = np.flatnonzero(deg >= deg_thresh)
+    if len(long_ids) == 0:
+        return None, None
+    is_long = np.zeros(n_row, np.bool_)
+    is_long[long_ids] = True
+    return is_long[rows0], long_ids.astype(np.int64)
+
+
+def _pass1_layout(cols0_s, vals0_s, nnz, n_col, k_slots, p, dtype):
+    """(chunk, col)-sorted pass-1 layout.  Returns the per-nnz product
+    position ``src`` (in the (n_chunks, p1, 128) grid), the layout arrays,
+    and o1 (the sort order applied to the caller's arrays)."""
+    n_chunks = cdiv(nnz, k_slots)
+    g1 = hm.arange(nnz) // k_slots
+    o1 = hm.argsort_keys(g1 * np.int64(n_col) + cols0_s)
+    cols_s = cols0_s[o1]
+    chunk_starts = np.concatenate(
+        [np.searchsorted(g1[o1], np.arange(n_chunks)), [nnz]])
+
+    def _pad1(grows, t):
+        return len(grows) * int(cdiv(int(grows.max(initial=1)), t) * t)
+
+    m1, t1, sizes1, bases1, crows1 = _best_walk(
+        cols_s, chunk_starts, (64, 128) if not p.get("t1_fix") else
+        (p["t1_fix"],), MUL_FIXED_S, _r4_mul_slot_s, _pad1,
+        m_override=p.get("m1_fix"),
+        extra_cands=(round(n_col / k_slots) + 1,))
+
+    # p1-outlier refinement (r5): all chunks pad to the max chunk's stream
+    # rows, so one high-spread chunk inflates every chunk's product block
+    # (ASIC r4: pass-1 pad 1.59×).  Split chunks whose walk exceeds the
+    # 80th-percentile row count (proportionally by slots) and redo the one
+    # global sort + walk — host cost ~1 extra radix pass.
+    if len(crows1) >= 4 and not p.get("no_refine"):
+        tgt = int(np.quantile(crows1, 0.8) * 1.25) + 1
+        if int(crows1.max()) > tgt:
+            parts = np.maximum(cdiv_np(crows1, tgt), 1)
+            bounds = [0]
+            for c in range(n_chunks):
+                a, b = int(chunk_starts[c]), int(chunk_starts[c + 1])
+                for s in range(1, int(parts[c])):
+                    bounds.append(a + (b - a) * s // int(parts[c]))
+                bounds.append(b)
+            bounds = np.asarray(sorted(set(bounds)), np.int64)
+            n_chunks = len(bounds) - 1
+            g1 = np.repeat(hm.arange(n_chunks), np.diff(bounds))
+            o1 = hm.argsort_keys(g1 * np.int64(n_col) + cols0_s)
+            cols_s = cols0_s[o1]
+            chunk_starts = np.concatenate(
+                [np.searchsorted(g1[o1], np.arange(n_chunks)), [nnz]])
+            m1, t1, sizes1, bases1, crows1 = _best_walk(
+                cols_s, chunk_starts, (t1,), MUL_FIXED_S, _r4_mul_slot_s,
+                _pad1, m_override=m1)
+
+    p1 = int(cdiv(int(crows1.max(initial=1)), t1) * t1)
+    h1 = n_chunks * p1
+    wstart1 = np.concatenate([[0], np.cumsum(crows1)[:-1]])
+    cidx = np.repeat(hm.arange(n_chunks), crows1)
+    final1 = cidx * p1 + (hm.arange(len(sizes1)) - wstart1[cidx])
+
+    win1 = hm.zeros(h1, np.int32)
+    win1[final1] = bases1.astype(np.int32)
+    lane1 = hm.zeros((h1, LANES), np.int8)
+    sub1 = hm.zeros((h1, LANES), np.int8)
+    val1 = hm.zeros((h1, LANES), dtype)
+    sr1 = final1[np.repeat(hm.arange(len(sizes1)), sizes1)]
+    li1 = hm.arange(nnz) - np.repeat(wslot_starts(sizes1), sizes1)
+    lane1[sr1, li1] = (cols_s & (LANES - 1)).astype(np.int8)
+    sub1[sr1, li1] = ((cols_s >> 7) - win1[sr1]).astype(np.int8)
+    val1[sr1, li1] = vals0_s[o1]
+    src = sr1 * np.int64(LANES) + li1
+    chunk1 = g1[o1]
+    return dict(o1=o1, src=src, chunk1=chunk1, n_chunks=n_chunks, p1=p1,
+                h1=h1, m1=m1, t1=t1, win1=win1, lane1=lane1, sub1=sub1,
+                val1=val1)
+
+
+def _assemble_steps(grp_chunk, grp_band_blk, grows, t2, kblk, p_oh, gb):
+    """Assign walk groups' stream rows to t2-row grid steps.
+
+    Cuts (pad to the next step boundary) happen only at group transitions
+    where (a) the source chunk changes, (b) the group's band falls in a new
+    out group, or (c) the band's block no longer fits the step's p_oh
+    window.  Returns (pads_per_group, step base blocks, step gids, step
+    chunks) — the step arrays are emitted per assembled step."""
+    n_grp = len(grows)
+    pads = np.zeros(n_grp, np.int64)
+    base_l, gid_l, cs_l = [], [], []
+    cur = 0                    # rows in current (partial) step
+    s_base = s_gid = s_cs = -1
+
+    def _emit_steps(k):
+        for _ in range(k):
+            base_l.append(s_base)
+            gid_l.append(s_gid)
+            cs_l.append(s_cs)
+
+    for g in range(n_grp):
+        bb = int(grp_band_blk[g])
+        gid = bb // gb
+        cut = False
+        if cur % t2 != 0:
+            if grp_chunk[g] != s_cs or gid != s_gid or \
+                    bb + kblk - s_base > p_oh:
+                cut = True
+        if cut:
+            pads[g - 1] += t2 - (cur % t2)
+            cur += t2 - (cur % t2)
+            _emit_steps(1)
+            cur = 0
+        if cur == 0:
+            s_cs = int(grp_chunk[g])
+            s_gid = gid
+            s_base = min(bb, gid * gb + gb - p_oh)
+        r = int(grows[g])
+        # full steps closed inside this group keep its attributes; a step
+        # OPENED mid-group starts at this group's band
+        while cur + r >= t2:
+            take = t2 - cur
+            r -= take
+            cur = 0
+            _emit_steps(1)
+            if r > 0:
+                s_cs = int(grp_chunk[g])
+                s_gid = gid
+                s_base = min(bb, gid * gb + gb - p_oh)
+        cur += r
+    if cur % t2:
+        pads[-1] += t2 - (cur % t2)
+        _emit_steps(1)
+    elif cur:
+        _emit_steps(1)
+    return (pads, np.asarray(base_l, np.int64), np.asarray(gid_l, np.int64),
+            np.asarray(cs_l, np.int64))
+
+
+def _convert_v4(coo: COOMatrix, cfg: Config, p: dict) -> Xch4State:
+    dtype = cfg.np_dtype
+    if coo.nnz == 0 or coo.n_row == 0:
+        return _empty_state4(coo, cfg)
+    nnz_all = coo.nnz
+    rows0 = hm.astype(coo.row, np.int64)
+    cols0 = hm.astype(coo.col, np.int64)
+    vals0 = hm.astype(coo.val, dtype)
+
+    # ---- long-row split (structure fast-track) ----
+    long_state = long_rows_dev = None
+    long_n = 0
+    if not p.get("no_long"):
+        deg_t = p.get("long_deg", LONG_DEG)
+        mask, long_ids = _split_long_rows(rows0, cols0, vals0, coo.n_row,
+                                          deg_t)
+        if mask is not None and \
+                mask.sum() >= LONG_MIN_SHARE * nnz_all and len(long_ids):
+            long_n = len(long_ids)
+            remap = np.full(coo.n_row, -1, np.int64)
+            remap[long_ids] = np.arange(long_n)
+            sub = COOMatrix(n_row=long_n, n_col=coo.n_col,
+                            row=remap[rows0[mask]], col=cols0[mask],
+                            val=vals0[mask])
+            sp = dict(p)
+            sp["no_long"] = True
+            for k in ("k_slots", "m1_fix", "m2_fix", "bs_fix", "t1_fix",
+                      "t2_fix"):
+                sp.pop(k, None)
+            sp.update(estimate_v4(sub, cfg, no_long=True))
+            long_state = _convert_v4(sub, cfg, sp)
+            long_rows_dev = device_put(long_ids.astype(np.int32))
+            keep = ~mask
+            rows0, cols0, vals0 = rows0[keep], cols0[keep], vals0[keep]
+            if len(rows0) == 0:
+                st = _empty_state4(coo, cfg)
+                return dataclasses.replace(
+                    st, long_n=long_n, long=long_state,
+                    long_rows=long_rows_dev)
+    nnz = len(rows0)
+
+    # ---- pass 1 ----
+    k_slots = int(min(p.get("k_slots", nnz), max(nnz, 1)))
+    l1 = _pass1_layout(cols0, vals0, nnz, coo.n_col, k_slots, p, dtype)
+    n_chunks, p1, h1, m1, t1 = (l1["n_chunks"], l1["p1"], l1["h1"],
+                                l1["m1"], l1["t1"])
+    src, chunk1 = l1["src"], l1["chunk1"]
+    rows1 = rows0[l1["o1"]]
+
+    # ---- pass 2: (chunk, band, src) sort ----
+    kblk = int(p.get("kblk", 8))
+    bs = 7 + int(np.log2(kblk))
+    gb = int(p.get("gb", X4_GB))
+    gb = max(gb - gb % kblk, kblk)
+    band = rows1 >> bs
+    n_band = int(band.max(initial=0)) + 2
+    grp_key = chunk1 * np.int64(n_band) + band
+    o2 = hm.argsort_keys(grp_key * np.int64(h1 * LANES + 1) + src)
+    src_s = src[o2]
+    rows_s = rows1[o2]
+    gk_s = grp_key[o2]
+    gbnd = np.flatnonzero(np.concatenate([[True], gk_s[1:] != gk_s[:-1]]))
+    grp_starts = np.append(gbnd, nnz)
+    grp_chunk = (gk_s[gbnd] // n_band).astype(np.int64)
+    grp_band_blk = ((gk_s[gbnd] % n_band) << (bs - 7)).astype(np.int64)
+
+    # m2/t2 walk selection on the fitted v4 model
+    p_oh = int(p.get("p_oh", 16))
+    t2_cands = (32, 64, 128) if not p.get("t2_fix") else (p["t2_fix"],)
+
+    if p.get("m2_fix"):
+        m_cands = [_align8(p["m2_fix"], M2_CAP)]
+    else:
+        m_cands = _span_quantiles(src_s, grp_starts[1:-1])
+        m_cands = sorted(set(_align8(min(max(m, 1), M2_CAP, p1))
+                             for m in m_cands))
+    stride = 8 if (nnz > SAMPLE_WALK_NNZ and
+                   (len(m_cands) > 1 or len(t2_cands) > 1)) else 1
+    src_e, grp_starts_e = _sample_groups(src_s, grp_starts, stride)
+    chunk_e = grp_chunk[::stride] if stride > 1 else grp_chunk
+    band_e = grp_band_blk[::stride] if stride > 1 else grp_band_blk
+    best = None
+    for m_c in m_cands:
+        wk = _walk(src_e, grp_starts_e, m_c)
+        for t_c in t2_cands:
+            pads_e, _, _, _ = _assemble_steps(chunk_e, band_e, wk[2], t_c,
+                                              kblk, p_oh, gb)
+            h_c = int(wk[2].sum() + pads_e.sum()) * stride
+            sec = ((h_c / t_c) * R4_FIXED_S
+                   + h_c * LANES * _r4_route_slot_s(m_c, kblk, p_oh))
+            if best is None or sec < best[0]:
+                best = (sec, m_c, t_c, wk)
+    _, m2, t2, wk = best
+    if stride > 1:
+        wk = _walk(src_s, grp_starts, m2)
+    sizes2, bases2, grows2 = wk
+
+    # an out group must fit one pallas call (SMEM prefetch cap): shrink gb
+    # until the densest group's PADDED step count fits the call budget
+    cap_steps = max(CHUNK_ROWS // t2, 1)
+    gb_min = max(2 * kblk, 8)
+    while True:
+        p_oh_eff = max(min(p_oh, gb // 8 * 8), 8)
+        pads, st_base, st_gid, st_cs = _assemble_steps(
+            grp_chunk, grp_band_blk, grows2, t2, kblk, p_oh_eff, gb)
+        per_grp = np.bincount(st_gid) if len(st_gid) else np.zeros(1, int)
+        if per_grp.max(initial=0) <= cap_steps or gb <= gb_min:
+            break
+        gb = max((gb // 2) // kblk * kblk, gb_min)
+    p_oh = p_oh_eff
+    grows_pad = grows2 + pads
+    h2 = int(grows_pad.sum())
+    n_steps = h2 // t2
+    assert n_steps == len(st_base), (n_steps, len(st_base))
+
+    gstart = np.concatenate([[0], np.cumsum(grows_pad)[:-1]])
+    wstart2 = np.concatenate([[0], np.cumsum(grows2)[:-1]])
+    gidx = np.repeat(hm.arange(len(grows2)), grows2)
+    final2 = gstart[gidx] + (hm.arange(len(sizes2)) - wstart2[gidx])
+
+    # windows: chunk-local product-row base, clamped into the block
+    base_loc = bases2 - grp_chunk[gidx] * p1
+    base_loc = np.minimum(np.maximum(base_loc, 0), max(p1 - m2, 0))
+    win2 = hm.zeros(h2, np.int32)
+    win2[final2] = base_loc.astype(np.int32)
+
+    # sig: per stream row, band base block − step base block
+    sig_row = hm.zeros(h2, np.int8)
+    sig_val = grp_band_blk[gidx] - st_base[final2 // t2]
+    assert sig_val.min(initial=0) >= 0 and \
+        sig_val.max(initial=0) <= p_oh - kblk, \
+        "xch4: stream row band outside its step's p_oh window"
+    sig_row[final2] = sig_val.astype(np.int8)
+
+    # within-stream-row sort by (row, src): run contiguity
+    sr2_0 = final2[np.repeat(hm.arange(len(sizes2)), sizes2)]
+    o3 = hm.argsort_keys(sr2_0 * np.int64(coo.n_row + 1) + rows_s)
+    src_f, rows_f, sr2 = src_s[o3], rows_s[o3], sr2_0[o3]
+    new_row = np.concatenate([[True], sr2[1:] != sr2[:-1]])
+    rstart = np.flatnonzero(new_row)
+    li2 = hm.arange(nnz) - rstart[np.cumsum(new_row) - 1]
+
+    lane2 = hm.zeros((h2, LANES), np.int8)
+    sub2 = hm.zeros((h2, LANES), np.int8)
+    hm2 = hm.zeros((h2, LANES), np.int8)
+    src_row = src_f >> 7
+    chunk_f = st_cs[sr2 // t2]
+    lane2[sr2, li2] = (src_f & (LANES - 1)).astype(np.int8)
+    sub2[sr2, li2] = (src_row - chunk_f * p1 - win2[sr2]).astype(np.int8)
+
+    new_run = hm.zeros(nnz, np.bool_)
+    new_run[0] = True
+    new_run[1:] = (rows_f[1:] != rows_f[:-1]) | (sr2[1:] != sr2[:-1])
+    qpos = sr2 * LANES + li2
+    head_q = np.maximum.accumulate(np.where(new_run, qpos, -1))
+    hm2[sr2, li2] = (head_q - sr2 * LANES - 1).astype(np.int8)
+
+    end = hm.zeros(nnz, np.bool_)
+    end[:-1] = new_run[1:]
+    end[-1] = True
+    r_run, sr_run, e_lane = rows_f[end], sr2[end], li2[end]
+
+    # idx planes: j = run's block − its stream row's band base block
+    j_run = (r_run >> 7) - (st_base[sr_run // t2]
+                            + sig_row[sr_run].astype(np.int64))
+    assert j_run.min(initial=0) >= 0 and j_run.max(initial=0) < kblk, \
+        "xch4: run outside its stream row's kblk band"
+    l_run = r_run & np.int64(LANES - 1)
+    idx2 = hm.full((kblk, h2, LANES), -1, np.int8)
+    idx2[j_run, sr_run, l_run] = e_lane.astype(np.int8)
+
+    # ---- SMEM-sized pallas_call chunks (cut at out-group changes) ----
+    n_grp_tot = int(st_gid[-1]) + 1 if n_steps else 0
+    u_gids, gid_inv = np.unique(st_gid, return_inverse=True)
+    gid_compact = gid_inv.astype(np.int64)      # compact visited groups
+    cz = _chunk_steps(gid_compact, n_steps, len(u_gids),
+                      max_steps=max(CHUNK_ROWS // t2, 1))
+    g_t, o_t, c_t, w_t, la_t, su_t, hm_t, sg_t, ix_t = \
+        [], [], [], [], [], [], [], [], []
+    for s0, s1, g0, _ng in cz:
+        r0, r1 = s0 * t2, s1 * t2
+        g_t.append(device_put((gid_compact[s0:s1] - g0).astype(np.int32)))
+        o_t.append(device_put(
+            (st_base[s0:s1] - st_gid[s0:s1] * gb).astype(np.int32)))
+        c_t.append(device_put(st_cs[s0:s1].astype(np.int32)))
+        w_t.append(device_put(win2[r0:r1]))
+        la_t.append(device_put(lane2[r0:r1]))
+        su_t.append(device_put(sub2[r0:r1]))
+        hm_t.append(device_put(hm2[r0:r1]))
+        sg_t.append(device_put(
+            np.broadcast_to(sig_row[r0:r1, None], (r1 - r0, LANES)).copy()))
+        ix_t.append(device_put(idx2[:, r0:r1]))
+
+    # ---- pass-1 call chunks ----
+    cz1 = []
+    max_rows1 = (160_000 // t1) * t1
+    for r0 in range(0, h1, max_rows1):
+        cz1.append((r0, min(r0 + max_rows1, h1)))
+    w1_t, la1_t, su1_t, va1_t = [], [], [], []
+    for r0, r1 in cz1:
+        w1_t.append(device_put(l1["win1"][r0:r1]))
+        la1_t.append(device_put(l1["lane1"][r0:r1]))
+        su1_t.append(device_put(l1["sub1"][r0:r1]))
+        va1_t.append(device_put(l1["val1"][r0:r1]))
+
+    cb_tot = cdiv(max(coo.n_col, 1), LANES)
+    return Xch4State(
+        n_row=coo.n_row, n_col=coo.n_col, nnz=nnz_all, m1=m1, m2=m2, t1=t1,
+        t2=t2, kblk=kblk, p_oh=p_oh, gb=gb, n_chunks=n_chunks, p1=p1,
+        cb_pad=cb_tot + m1, n_slots1=h1 * LANES, n_slots2=h2 * LANES,
+        chunk_ngrp=tuple(c[3] for c in cz), long_n=long_n,
+        win1=tuple(w1_t), lane1=tuple(la1_t), sub1=tuple(su1_t),
+        val1=tuple(va1_t),
+        gids2=tuple(g_t), off2=tuple(o_t), cs2=tuple(c_t),
+        win2=tuple(w_t), lane2=tuple(la_t), sub2=tuple(su_t),
+        hm2=tuple(hm_t), sig2=tuple(sg_t), idx2=tuple(ix_t),
+        vis_gids=device_put(u_gids.astype(np.int32)),
+        long=long_state, long_rows=long_rows_dev)
+
+
+def _empty_state4(coo, cfg):
+    dtype = cfg.np_dtype
+    z8 = lambda *s: device_put(hm.zeros(s, np.int8))
+    return Xch4State(
+        n_row=coo.n_row, n_col=coo.n_col, nnz=0, m1=1, m2=1, t1=8, t2=8,
+        kblk=1, p_oh=8, gb=8, n_chunks=1, p1=8, cb_pad=1,
+        n_slots1=0, n_slots2=0, chunk_ngrp=(0,), long_n=0,
+        win1=(device_put(hm.zeros(0, np.int32)),),
+        lane1=(z8(0, LANES),), sub1=(z8(0, LANES),),
+        val1=(device_put(hm.zeros((0, LANES), dtype)),),
+        gids2=(device_put(hm.zeros(0, np.int32)),),
+        off2=(device_put(hm.zeros(0, np.int32)),),
+        cs2=(device_put(hm.zeros(0, np.int32)),),
+        win2=(device_put(hm.zeros(0, np.int32)),),
+        lane2=(z8(0, LANES),), sub2=(z8(0, LANES),), hm2=(z8(0, LANES),),
+        sig2=(z8(0, LANES),),
+        idx2=(device_put(hm.full((1, 0, LANES), -1, np.int8)),),
+        vis_gids=device_put(hm.zeros(0, np.int32)))
+
+
+def estimate_v4(coo: COOMatrix, cfg: Config, no_long: bool = False) -> dict:
+    """Closed-form v4 plan: k_slots/kblk/p_oh/gb from the uniform-mix bound,
+    long-row split decided from the degree profile."""
+    n_r, n_c, nnz = max(coo.n_row, 1), max(coo.n_col, 1), max(coo.nnz, 1)
+    if coo.nnz == 0:
+        return {"feasible": False, "est_s": 0.0, "route_v": 4}
+    if cdiv(n_c, LANES) * LANES * np.dtype(cfg.dtype).itemsize > X_TABLE_CAP:
+        return {"feasible": False, "est_s": float("inf"), "route_v": 4}
+    deg = nnz / n_r
+    # 3-factor balance on K = n_c·n_r/(128·nnz) with the fitted weights.
+    # The chunk floor (≥ 384 product rows) keeps the p1-alignment and
+    # chunk-cut pads sane — tiny chunks measured pad 1.64× (r5); the
+    # residual K/m1_eff is then re-split between m2 and kblk.
+    K = max(n_c * n_r / (LANES * nnz), 1.0)
+    w1, w2, w3 = SEL_SLOT_S, R4_SEL_S, R4_KBLK_S
+    c = (K * w1 * w2 * w3) ** (1.0 / 3.0)
+    m1_t = float(np.clip(c / w1, 1.0, M_MAX))
+    # pass-1 window m1 = n_c/k_slots blocks (col spread of 128 consecutive
+    # (chunk, col)-sorted slots)
+    k_slots = int(np.clip(n_c / m1_t, min(nnz, 384 * LANES),
+                          P1_CAP_ROWS * LANES))
+    k_slots = max(min(k_slots, nnz), 16 * LANES)
+    m1_eff = max(n_c / k_slots, 1.0)
+    m1 = _align8(int(round(m1_eff)))
+    K2 = max(K / m1_eff, 1.0)
+    m2_t = float(np.clip(np.sqrt(K2 * w3 / w2), 1.0, M2_CAP))
+    kblk = int(2 ** np.clip(round(np.log2(max(K2 / m2_t, 1.0))), 0, 5))
+    m2 = _align8(int(round(m2_t)), M2_CAP)
+    t2 = 64
+    p_oh = int(np.clip(_align8(int(t2 / max(deg, 1.0)) + kblk), 8, 64))
+    # call-chunk SMEM cap: stream rows per out group ≈ gb·deg must stay
+    # under CHUNK_ROWS (a group cannot split across pallas calls)
+    gb = min(X4_GB, max(int(0.7 * CHUNK_ROWS / max(deg, 1.0)) // max(kblk, 1)
+                        * max(kblk, 1), 8 * kblk))
+    slots1 = 1.12 * nnz
+    n_grp_est = nnz / k_slots + n_r / (kblk * LANES)
+    slots2 = 1.05 * nnz + n_grp_est * (t2 / 4) * LANES \
+        + (n_r / (kblk * LANES)) * 64
+    sec = (slots1 * _r4_mul_slot_s(m1) + slots1 / LANES / 128 * MUL_FIXED_S
+           + slots2 * _r4_route_slot_s(m2, kblk, p_oh)
+           + slots2 / LANES / t2 * R4_FIXED_S)
+    out = {"feasible": True, "est_s": float(sec), "route_v": 4,
+           "k_slots": k_slots, "kblk": kblk,
+           "p_oh": p_oh, "gb": gb, "slots": int(slots1 + slots2)}
+    # long-row fast-track: K for the compacted long submatrix is tiny
+    if not no_long and n_r >= 4096:
+        degs = np.bincount(hm.astype(coo.row, np.int64), minlength=n_r)
+        long_nnz = int(degs[degs >= LONG_DEG].sum())
+        if long_nnz >= LONG_MIN_SHARE * nnz:
+            n_long = int((degs >= LONG_DEG).sum())
+            sub_sec = long_nnz * (_r4_mul_slot_s(1)
+                                  + _r4_route_slot_s(8, 2, 8))
+            # residual cost: same closed form on the remaining degree mass
+            rest_nnz = nnz - long_nnz
+            Kr = max(n_c * n_r / (LANES * max(rest_nnz, 1)), 1.0)
+            cr = (Kr * w1 * w2 * w3) ** (1.0 / 3.0)
+            rest_sec = rest_nnz * 1.15 * (
+                _r4_mul_slot_s(_align8(int(cr / w1)))
+                + _r4_route_slot_s(_align8(int(np.clip(cr / w2, 1, M2_CAP)),
+                                           M2_CAP),
+                                   int(np.clip(cr / w3, 1, 32)), p_oh))
+            scatter_sec = n_long * 7e-9
+            if sub_sec + rest_sec + scatter_sec < sec:
+                out["long_deg"] = LONG_DEG
+                out["est_s"] = float(sub_sec + rest_sec + scatter_sec)
+    out["est_s"] *= 1.15          # closed-form → measured headroom
+    return out
+
+
+def _spmv_v4(state: Xch4State, x):
+    import jax.numpy as jnp
+
+    from ..ops.pallas.xch import xch_mul, xch_route4
+
+    n = state.n_row
+    if state.nnz == 0:
+        return jnp.zeros((n,), x.dtype)
+    total_blocks = cdiv(max(n, 1), LANES)
+    n_grp_tot = cdiv(total_blocks, state.gb)
+    y = None
+    if state.n_slots1:
+        xp = jnp.zeros((state.cb_pad * LANES,), x.dtype)
+        xp = xp.at[: state.n_col].set(x)
+        xp = xp.reshape(state.cb_pad, LANES)
+        prods = [xch_mul(w, la, su, va, xp, state.m1, state.t1)
+                 for w, la, su, va in zip(state.win1, state.lane1,
+                                          state.sub1, state.val1)]
+        prod = prods[0] if len(prods) == 1 else jnp.concatenate(prods, axis=0)
+        prod3 = prod.reshape(state.n_chunks, state.p1, LANES)
+
+        outs = [xch_route4(g, o, c, w, la, su, h2, sg, ix, prod3,
+                           ng, state.gb, state.m2, state.m2, state.t2,
+                           state.p_oh)
+                for g, o, c, w, la, su, h2, sg, ix, ng in zip(
+                    state.gids2, state.off2, state.cs2, state.win2,
+                    state.lane2, state.sub2, state.hm2, state.sig2,
+                    state.idx2, state.chunk_ngrp)]
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        n_vis = out.shape[0] // state.gb
+        out3 = out.reshape(n_vis, state.gb * LANES)
+        yg = jnp.zeros((n_grp_tot, state.gb * LANES), out.dtype)
+        yg = yg.at[state.vis_gids].set(out3, mode="drop",
+                                       unique_indices=True)
+        y = yg.reshape(-1)[:n]
+    else:
+        y = jnp.zeros((n,), x.dtype)
+    if state.long is not None:
+        y_long = _spmv_v4(state.long, x)
+        y = y.at[state.long_rows].add(y_long, mode="drop",
+                                      unique_indices=True)
+    return y
+
+
 def wslot_starts(sizes):
     return np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
 
@@ -631,6 +1207,25 @@ def _empty_state(coo, cfg):
         bucket_ids=device_put(hm.zeros(0, np.int32)))
 
 
+# ------------------------------------------------------- dispatch (v4/v3) ---
+
+def estimate(coo: COOMatrix, cfg: Config) -> dict:
+    """v4 is the primary plan; the v3 σ-plane engine stays reachable via
+    plan={'route_v': 3} (tests compare the two layouts)."""
+    return estimate_v4(coo, cfg)
+
+
+def convert(coo: COOMatrix, cfg: Config, plan: dict = None):
+    if coo.nnz == 0 or coo.n_row == 0:
+        return _empty_state4(coo, cfg)
+    p = plan or estimate(coo, cfg)
+    if not p.get("feasible", True):
+        raise ValueError("xch: infeasible (x table exceeds VMEM cap)")
+    if p.get("route_v", 4) == 3:
+        return _convert_v3(coo, cfg, p)
+    return _convert_v4(coo, cfg, p)
+
+
 # -------------------------------------------------------------------- spmv ---
 
 def _mul_phase(state: XchState, x):
@@ -686,26 +1281,72 @@ def _route_phase(state: XchState, prod3):
     return y2.reshape(-1)[:n]
 
 
-def spmv(state: XchState, x):
+def spmv(state, x):
     import jax.numpy as jnp
 
     from ..ops import pallas as pallas_pkg
 
-    if state.nnz == 0 or state.n_buckets == 0:
-        return jnp.zeros((state.n_row,), x.dtype)
     if not pallas_pkg.supports(x.dtype):
         raise TypeError("xch runs Pallas kernels: use float32/bfloat16 "
                         "(csr/ss for the f64 XLA path)")
+    if isinstance(state, Xch4State):
+        return _spmv_v4(state, x)
+    if state.nnz == 0 or state.n_buckets == 0:
+        return jnp.zeros((state.n_row,), x.dtype)
     return _route_phase(state, _mul_phase(state, x))
 
 
-def phases(state: XchState):
+def _mul_phase4(state: Xch4State, x):
+    import jax.numpy as jnp
+
+    from ..ops.pallas.xch import xch_mul
+
+    xp = jnp.zeros((state.cb_pad * LANES,), x.dtype)
+    xp = xp.at[: state.n_col].set(x)
+    xp = xp.reshape(state.cb_pad, LANES)
+    prods = [xch_mul(w, la, su, va, xp, state.m1, state.t1)
+             for w, la, su, va in zip(state.win1, state.lane1, state.sub1,
+                                      state.val1)]
+    prod = prods[0] if len(prods) == 1 else jnp.concatenate(prods, axis=0)
+    return prod.reshape(state.n_chunks, state.p1, LANES)
+
+
+def _route_phase4(state: Xch4State, prod3):
+    import jax.numpy as jnp
+
+    from ..core.types import cdiv as _cdiv
+    from ..ops.pallas.xch import xch_route4
+
+    n = state.n_row
+    total_blocks = _cdiv(max(n, 1), LANES)
+    n_grp_tot = _cdiv(total_blocks, state.gb)
+    outs = [xch_route4(g, o, c, w, la, su, h2, sg, ix, prod3,
+                       ng, state.gb, state.m2, state.m2, state.t2,
+                       state.p_oh)
+            for g, o, c, w, la, su, h2, sg, ix, ng in zip(
+                state.gids2, state.off2, state.cs2, state.win2,
+                state.lane2, state.sub2, state.hm2, state.sig2,
+                state.idx2, state.chunk_ngrp)]
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    n_vis = out.shape[0] // state.gb
+    out3 = out.reshape(n_vis, state.gb * LANES)
+    yg = jnp.zeros((n_grp_tot, state.gb * LANES), out.dtype)
+    yg = yg.at[state.vis_gids].set(out3, mode="drop", unique_indices=True)
+    return yg.reshape(-1)[:n]
+
+
+def phases(state):
     """Mul/Route split for the driver's MulPerf/SumPerf report keys
-    (reference opt_ss.cpp phases; src/main.cpp:173-174)."""
+    (reference opt_ss.cpp phases; src/main.cpp:173-174).  v4 states with a
+    long-row subexchange skip the split (the Sum phase would need x)."""
+    if isinstance(state, Xch4State):
+        if state.long is not None or state.n_slots1 == 0:
+            return None
+        return {"Mul": _mul_phase4, "Sum": _route_phase4}
     return {"Mul": _mul_phase, "Sum": _route_phase}
 
 
-def spmm(state: XchState, X):
+def spmm(state, X):
     import jax
 
     return jax.vmap(spmv, in_axes=(None, 1), out_axes=1)(state, X)
@@ -713,24 +1354,117 @@ def spmm(state: XchState, X):
 
 # ----------------------------------------------------------------- reports ---
 
-def report_fields(state: XchState, cfg: Config) -> dict:
+def report_fields(state, cfg: Config) -> dict:
+    if isinstance(state, Xch4State):
+        out = {"Window1Blocks": state.m1, "Window2Blocks": state.m2,
+               "KBlk": state.kblk, "POh": state.p_oh,
+               "Chunks": state.n_chunks, "RouteV": 4,
+               "PadFactor": round((state.n_slots1 + state.n_slots2)
+                                  / max(2 * (state.nnz - _long_nnz(state)),
+                                        1), 3)}
+        if state.long is not None:
+            out["LongRows"] = state.long_n
+            out["LongPad"] = round(
+                (state.long.n_slots1 + state.long.n_slots2)
+                / max(2 * state.long.nnz, 1), 3)
+        return out
     return {"Window1Blocks": state.m1, "Window2Blocks": state.m2,
             "RoutePlanes": state.planes, "Span": state.span,
-            "Chunks": state.n_chunks,
+            "Chunks": state.n_chunks, "RouteV": 3,
             "PadFactor": round((state.n_slots1 + state.n_slots2)
                                / max(2 * state.nnz, 1), 3)}
 
 
-def traffic_bytes(state: XchState, cfg: Config) -> int:
+def _long_nnz(state) -> int:
+    return state.long.nnz if getattr(state, "long", None) is not None else 0
+
+
+def traffic_bytes(state, cfg: Config) -> int:
     vsz = np.dtype(cfg.dtype).itemsize
+    if isinstance(state, Xch4State):
+        pass1 = state.n_slots1 * (vsz + 2) + state.n_slots1 * 4
+        pass2 = state.n_slots2 * (4 + state.kblk) + state.n_slots1 * 4
+        tot = (pass1 + pass2 + state.n_row * vsz
+               + state.cb_pad * LANES * vsz)
+        if state.long is not None:
+            tot += traffic_bytes(state.long, cfg)
+        return tot
     pass1 = state.n_slots1 * (vsz + 2) + state.n_slots1 * 4   # stream + write
     pass2 = state.n_slots2 * (3 + state.planes) + state.n_slots1 * 4
     return (pass1 + pass2 + state.n_row * vsz
             + state.cb_pad * LANES * vsz)
 
 
-def to_coo(state: XchState) -> COOMatrix:
+def _to_coo_v4(state: Xch4State) -> COOMatrix:
+    """Host-side inverse of the v4 layout (asCSR analog,
+    /root/reference/opt/Benchmark_SpMV_using_CSR5/CSR5_avx2/anonymouslib_avx2.h)."""
+    cat = lambda t, ax=0: np.concatenate([np.asarray(a) for a in t], axis=ax)
+    parts = []
+    if state.long is not None:
+        sub = _to_coo_v4(state.long)
+        lr = np.asarray(state.long_rows).astype(np.int64)
+        parts.append((lr[sub.row.astype(np.int64)], sub.col, sub.val))
+    if state.n_slots1:
+        lane1 = cat(state.lane1).astype(np.int64)
+        sub1 = cat(state.sub1).astype(np.int64)
+        val1 = cat(state.val1).astype(np.float64)
+        win1 = cat(state.win1).astype(np.int64)
+        cols_grid = (win1[:, None] + sub1) * LANES + lane1
+
+        lane2 = cat(state.lane2).astype(np.int64)
+        sub2 = cat(state.sub2).astype(np.int64)
+        win2 = cat(state.win2).astype(np.int64)
+        hm2 = cat(state.hm2).astype(np.int64)
+        sig2 = cat(state.sig2).astype(np.int64)[:, 0]
+        idx2 = cat(state.idx2, ax=1).astype(np.int64)
+        g_base = np.cumsum([0] + list(state.chunk_ngrp[:-1]))
+        gids = np.concatenate([np.asarray(g).astype(np.int64) + b
+                               for g, b in zip(state.gids2, g_base)])
+        offs = np.concatenate([np.asarray(o).astype(np.int64)
+                               for o in state.off2])
+        cs = np.concatenate([np.asarray(c).astype(np.int64)
+                             for c in state.cs2])
+        vis = np.asarray(state.vis_gids).astype(np.int64)
+        h2 = lane2.shape[0]
+        t2 = state.t2
+        step_of = np.repeat(np.arange(h2 // t2), t2)
+        base_blk = vis[gids[step_of]] * state.gb + offs[step_of]  # per sr
+
+        rows = np.full((h2, LANES), -1, np.int64)
+        for j in range(state.kblk):
+            e = idx2[j]
+            valid = e >= 0
+            sr_i, l_i = np.nonzero(valid)
+            end_lane = e[sr_i, l_i]
+            rr = (base_blk[sr_i] + sig2[sr_i] + j) * LANES + l_i
+            rows[sr_i, end_lane] = rr
+        for jl in range(LANES - 2, -1, -1):
+            unset = rows[:, jl] < 0
+            same_run = hm2[:, jl + 1] != jl
+            rows[same_run & unset, jl] = rows[same_run & unset, jl + 1]
+
+        src_row = cs[step_of][:, None] * state.p1 + win2[:, None] + sub2
+        src = src_row * LANES + lane2
+        mask = rows >= 0
+        src_m = src[mask]
+        cols = cols_grid.reshape(-1)[src_m]
+        vals = val1.reshape(-1)[src_m]
+        keep = vals != 0
+        parts.append((rows[mask][keep], cols[keep], vals[keep]))
+    if not parts:
+        return COOMatrix.from_triplets(state.n_row, state.n_col, [], [], [],
+                                       sort=True)
+    rows = np.concatenate([p[0] for p in parts])
+    cols = np.concatenate([p[1] for p in parts])
+    vals = np.concatenate([p[2] for p in parts])
+    return COOMatrix.from_triplets(state.n_row, state.n_col, rows, cols,
+                                   vals, sort=True)
+
+
+def to_coo(state) -> COOMatrix:
     """Host-side inverse: recover (row, col, val) from the two layouts."""
+    if isinstance(state, Xch4State):
+        return _to_coo_v4(state)
     cat = lambda t, ax=0: np.concatenate([np.asarray(a) for a in t], axis=ax)
     lane1 = cat(state.lane1).astype(np.int64)
     sub1 = cat(state.sub1).astype(np.int64)

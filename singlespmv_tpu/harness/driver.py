@@ -276,8 +276,8 @@ def _run_benchmark_inner(matrix, cfg, *, coo, mat_name, x, quick,
     # --- per-phase profile (PROF_BEGIN/END analog; un-fused = honest split) ---
     phase_perf: Dict[str, float] = {}
     phases = formats.phases_fn(cfg)
-    if cfg.profiling and phases:
-        ph = phases(state)
+    ph = phases(state) if (cfg.profiling and phases) else None
+    if ph:
         inputs, cur = {}, xd
         for pname, fn in ph.items():
             inputs[pname] = cur

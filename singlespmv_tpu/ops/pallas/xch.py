@@ -75,6 +75,125 @@ def xch_mul(win, lane, sub, val, x_table, m: int, T: int = 64):
     )(win, lane, sub, val, x_table)
 
 
+def _xch_route4_kernel(gids_ref, off_ref, cs_ref, win_ref, lane_ref, sub_ref,
+                       hm_ref, sig_ref, idx_ref, prod_ref, out_ref,
+                       *, m: int, msel: int, kblk: int, p_oh: int):
+    """v4 blk-granular route (r5).
+
+    The v3 kernel streamed ``span·planes`` σ-plane end-lane arrays per step
+    and ran a masked VPU pick+reduce per plane — `planes` bytes/slot of idx
+    traffic and ~0.008 ns/slot/plane of compute, the measured route bound on
+    every giant.  v4 stores the routing at BLOCK granularity instead:
+
+      - sig[r] (lane-replicated int8) = stream row r's first target 128-row
+        block, relative to the step's base block (prefetched off[t]);
+      - idx[j] = end-lanes of runs targeting the row's (sig+j)-th block —
+        rows inside one 128-row block are lane-distinct, so ``kblk`` planes
+        suffice where kblk = max block span of a stream row's runs (the
+        convert's R-band rebalance makes kblk ≈ m2-sized, not scope-sized);
+      - per j: one pick repositions run totals to target lanes, and a
+        (p_oh, T) one-hot built from sig routes rows to output blocks on
+        the MXU (slab's blk trick, ops/pallas/slab.py:140-181);
+      - the (p_oh, 128) step contribution accumulates at dynamic sublane
+        offset off[t] in a large revisited out block (out-block switches
+        cost ~µs; the out block now covers ~10⁵ rows, not one bucket).
+
+    ``msel`` decouples the SELECT width from the 8-aligned SLICE width m:
+    the window slice must be sublane-aligned (r4 rule), but the select
+    one-hot only needs the walk's true span — m=16-slice/9-select saves
+    ~40% of the select cost align-8 used to waste.
+    """
+    t = pl.program_id(0)
+
+    first = jnp.logical_or(
+        t == 0, gids_ref[jnp.maximum(t, 1)] != gids_ref[jnp.maximum(t, 1) - 1])
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    T = lane_ref.shape[0]
+    wins = [prod_ref[0, pl.ds(win_ref[t * T + r], m), :] for r in range(T)]
+    ws = jnp.concatenate(wins, axis=0) if T > 1 else wins[0]   # (T·m, 128)
+    lane = lane_ref[:].astype(jnp.int32)
+    if msel == 1:
+        w1 = ws.reshape(T, m, LANES)[:, 0, :] if m > 1 else ws
+        g = jnp.take_along_axis(w1, lane, axis=1)
+    else:
+        if msel < m:
+            ws = ws.reshape(T, m, LANES)[:, :msel, :].reshape(T * msel, LANES)
+        lane_m = jnp.broadcast_to(lane[:, None, :], (T, msel, LANES)
+                                  ).reshape(T * msel, LANES)
+        tk = jnp.take_along_axis(ws, lane_m, axis=1).reshape(T, msel, LANES)
+        sub = sub_ref[:].astype(jnp.int32)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (T, msel, LANES), 1)
+        g = jnp.sum(jnp.where(srow == sub[:, None, :], tk, 0.0), axis=1)
+
+    w = _run_totals(g, hm_ref[:])
+
+    sig = sig_ref[:, :p_oh].astype(jnp.int32)               # (T, p_oh)
+    iot = jax.lax.broadcasted_iota(jnp.int32, (T, p_oh), 1)
+    acc_t = jnp.float32 if w.dtype in (jnp.bfloat16, jnp.float16,
+                                       jnp.float32) else w.dtype
+    acc = None
+    for j in range(kblk):
+        e = idx_ref[j].astype(jnp.int32)                    # (T, 128)
+        valid = e >= 0
+        picked = jnp.take_along_axis(w, jnp.where(valid, e, 0), axis=1)
+        masked = jnp.where(valid, picked, 0.0)
+        oh = (sig + j == iot).astype(w.dtype)               # (T, p_oh)
+        c = jnp.dot(oh.T, masked, preferred_element_type=acc_t,
+                    precision=jax.lax.Precision.HIGHEST).astype(w.dtype)
+        acc = c if acc is None else acc + c
+    out_ref[pl.ds(off_ref[t], p_oh), :] += acc
+
+
+def xch_route4(gids, off, cs, win, lane, sub, hm1, sig, idx, prod3,
+               n_grp: int, gb: int, m: int, msel: int, T: int = 64,
+               p_oh: int = 16):
+    """Run the v4 route: returns (n_grp·gb, 128) — out row g·gb+i holds the
+    i-th 128-row block of output group g (compact blocks; host maps back).
+
+    gids: (n_steps,) int32 prefetched — output group per step, non-decr.
+    off:  (n_steps,) int32 prefetched — step's base block − gids[t]·gb,
+          with off + p_oh ≤ gb (convert pads at group boundaries).
+    cs:   (n_steps,) int32 prefetched — source chunk per step.
+    win:  (H,) int32 prefetched — chunk-local product-row window base.
+    lane/sub/hm1/sig: (H, 128) int8.  idx: (kblk, H, 128) int8.
+    prod3: (n_chunks, P1, 128) pass-1 products.
+    """
+    h = lane.shape[0]
+    n_steps = h // T
+    p1 = prod3.shape[1]
+    kblk = idx.shape[0]
+    spec8 = lambda: pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_xch_route4_kernel, m=m, msel=msel, kblk=kblk,
+                          p_oh=p_oh),
+        out_shape=jax.ShapeDtypeStruct((n_grp * gb, LANES), prod3.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_steps,),
+            in_specs=[
+                spec8(), spec8(), spec8(), spec8(),
+                pl.BlockSpec((kblk, T, LANES), lambda t, *_: (0, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p1, LANES),
+                             lambda t, g, o, c, w: (c[t], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((gb, LANES), lambda t, g, o, c, w: (g[t], 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=_vmem_params_bytes(
+            2 * p1 * LANES * prod3.dtype.itemsize,
+            T * LANES * (4 + kblk),
+            gb * LANES * prod3.dtype.itemsize * 2),
+        interpret=_use_interpret(),
+    )(gids, off, cs, win, lane, sub, hm1, sig, idx, prod3)
+
+
 def _xch_route_kernel(uids_ref, gids_ref, cs_ref, sg0_ref, sg1_ref, win_ref,
                       lane_ref, sub_ref, hm_ref, idx_ref, prod_ref, out_ref,
                       *, m: int, planes: int, g_grp: int, pg: int):

@@ -126,9 +126,8 @@ def test_xch_chunked_stream(monkeypatch):
     x = np.random.default_rng(3).uniform(size=coo.n_col).astype(np.float32)
     y_single = np.asarray(jax.jit(spmv_fn(F32))(convert(coo, F32), x))
     monkeypatch.setattr(xch_mod, "CHUNK_ROWS", 8 * 64)  # ≤8 steps per call
-    monkeypatch.setattr(xch_mod, "G_GRP", 1)
     st = convert(coo, F32)
-    assert len(st.uids2) > 1
+    assert len(st.gids2) > 1
     y_chunked = np.asarray(jax.jit(spmv_fn(F32))(st, x))
     np.testing.assert_allclose(y_single, y_chunked, rtol=2e-6, atol=1e-7)
 
@@ -147,22 +146,49 @@ def test_xch_estimate_fields():
     coo = _mix(5000, 25000, 0)
     est = xch_mod.estimate(coo, F32)
     assert est["feasible"] and est["est_s"] > 0
-    assert 1 <= est["m1"] <= xch_mod.M_MAX
-    assert 1 <= est["m2"] <= xch_mod.M_MAX
+    assert est["route_v"] == 4
+    assert 1 <= est["kblk"] <= 32
+    assert 8 <= est["p_oh"] <= 64
+    assert est["k_slots"] >= 16 * 128
 
 
-def test_xch_span_modes_agree():
-    """Forced span=1 vs span=2 must both verify and agree to f32 tolerance."""
+def test_xch_v3_v4_agree():
+    """The v3 σ-plane engine and the v4 blk-routed engine must both verify
+    and agree to f32 tolerance on the same matrix."""
     coo = _mix(5000, 25000, 0)
     x = np.random.default_rng(5).uniform(size=coo.n_col).astype(np.float32)
     ys = []
-    for span in (1, 2):
-        p = xch_mod.estimate(coo, F32)
-        p["span_fix"] = span
-        st = xch_mod.convert(coo, F32, plan=p)
-        assert st.span == span
+    for plan in (xch_mod.estimate_v3(coo, F32) | {"route_v": 3},
+                 xch_mod.estimate(coo, F32)):
+        st = xch_mod.convert(coo, F32, plan=plan)
         y = np.asarray(jax.jit(xch_mod.spmv)(st, x))
         ok, det = verify_result(coo, x, y, dtype=np.float32)
-        assert ok, f"span={span}: {det}"
+        assert ok, f"route_v={plan.get('route_v')}: {det}"
         ys.append(y)
-    np.testing.assert_allclose(ys[0], ys[1], rtol=2e-5, atol=1e-6)
+    # different summation orders: f32 round-off only
+    np.testing.assert_allclose(ys[0], ys[1], rtol=1e-4, atol=1e-5)
+
+
+def test_xch_long_row_split():
+    """Rows ≥ LONG_DEG split into the nested compact exchange; the merged
+    result must verify and the split must actually engage."""
+    rng = np.random.default_rng(11)
+    n = 20000
+    rows = rng.integers(0, n, 60000)
+    # 8 hub rows with ~2000 entries each (≥ LONG_DEG)
+    hub = np.repeat(rng.choice(n, 8, replace=False), 2000)
+    rows = np.concatenate([rows, hub])
+    cols = rng.integers(0, n, len(rows))
+    coo = COOMatrix.from_triplets(n, n, rows, cols,
+                                  rng.uniform(1, 2, len(rows)), sort=True)
+    st = convert(coo, F32)
+    assert st.long_n >= 8 and st.long is not None
+    x = np.random.default_rng(3).uniform(size=n).astype(np.float32)
+    y = np.asarray(jax.jit(spmv_fn(F32))(st, x))
+    ok, det = verify_result(coo, x, y, dtype=np.float32)
+    assert ok, det
+    rt = xch_mod.to_coo(st)
+    dedup = coo  # from_triplets already sums duplicates
+    assert rt.nnz == dedup.nnz
+    np.testing.assert_array_equal(rt.row, dedup.row)
+    np.testing.assert_array_equal(rt.col, dedup.col)
