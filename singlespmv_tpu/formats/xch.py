@@ -164,7 +164,8 @@ class XchState:
 
 @pytree_dataclass(meta=("n_row", "n_col", "nnz", "m1", "m2", "t1", "t2",
                         "kblk", "p_oh", "gb", "n_chunks", "p1", "cb_pad",
-                        "n_slots1", "n_slots2", "chunk_ngrp", "long_n"))
+                        "n_slots1", "n_slots2", "chunk_ngrp", "long_n",
+                        "dia_offs"))
 class Xch4State:
     """v4 blk-routed exchange (r5) — see ops/pallas/xch.py:_xch_route4_kernel.
 
@@ -214,6 +215,8 @@ class Xch4State:
     vis_gids: object         # (n_vis,) int32 — visited out groups, ascending
     long: object = None      # nested Xch4State on the long-row submatrix
     long_rows: object = None  # (long_n,) int32 — original row ids
+    dia_vals: object = None  # (len(dia_offs), n_row) dtype — peeled bands
+    dia_offs: tuple = ()     # peeled high-fill diagonal offsets (static)
 
 
 # ---------------------------------------------------------------- planning ---
@@ -255,6 +258,28 @@ def _sample_groups(keys, starts, stride):
     lens = np.asarray([b - a for a, b in segs], np.int64)
     starts_s = np.concatenate([[0], np.cumsum(lens)])
     return keys_s, starts_s
+
+
+def _sample_group_runs(keys, starts, stride, run=16):
+    """RUNS of ``run`` consecutive groups, one run per ``stride·run``
+    groups.  Unlike the strided sampler, adjacent sampled groups keep
+    their true chunk/band deltas — a strided sample makes the band drift
+    look ``stride``× faster and the step-assembly pad model then flees to
+    tiny t2 (r5: circuit5M planned t2=32 where 128 measures faster).
+    Returns (keys_s, starts_s, run_index_lists) where the third maps
+    sampled groups to their original index."""
+    n_grp = len(starts) - 1
+    if stride <= 1 or n_grp <= stride * run + 1:
+        return keys, starts, np.arange(n_grp)
+    gsel = []
+    for g0 in range(0, n_grp, stride * run):
+        gsel.extend(range(g0, min(g0 + run, n_grp)))
+    gsel = np.asarray(gsel, np.int64)
+    segs = [(starts[g], starts[g + 1]) for g in gsel]
+    keys_s = np.concatenate([keys[a:b] for a, b in segs])
+    lens = np.asarray([b - a for a, b in segs], np.int64)
+    starts_s = np.concatenate([[0], np.cumsum(lens)])
+    return keys_s, starts_s, gsel
 
 
 SAMPLE_WALK_NNZ = 8_000_000   # candidate walks run on a 1/8 group sample
@@ -631,20 +656,23 @@ def _convert_v3(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
 
 # ------------------------------------------------------------- v4 convert ---
 
-# v4 route-kernel rates, fitted on the r5 chip probe (scripts/probe_xch_v4.py,
-# chained on-device loops, median of 3):
-#   (m=8, kblk=2, p_oh=8,  T=128): 0.0775 ns/slot
-#   (m=8, kblk=4, p_oh=16, T=128): 0.0964
-#   (m=8, kblk=8, p_oh=16, T=64):  0.1495
-#   (m=16, kblk=16, p_oh=16, T=64): 0.2309   (v3 same shapes: 0.1955)
-R4_BASE_S = 0.030e-9        # run totals + write + window entry
-R4_SEL_S = 0.006e-9         # per window member (select + pick share)
-R4_KBLK_S = 0.0095e-9       # per idx plane (pick + one-hot matmul + stream)
-R4_POH_S = 0.0004e-9        # per one-hot output row
-R4_FIXED_S = 0.28e-6        # per grid step
+# v4 route-kernel rates, fitted on the r5 chip marginal probe
+# (scripts/probe_xch_v4.py + the clean grid at T=128/kblk=4/p_oh=16:
+#  m 1→0.0656, 8→0.0965, 16→0.1274 ns/slot → 0.0044/member;
+#  kblk 1→0.0766, 4→0.0971, 16→0.1667 → 0.006/plane;
+#  T 32→0.1978, 128→0.0964, 256→0.0822 → 0.27 µs/step fixed;
+#  p_oh 8→0.0924, 48→0.1003 → 0.0002/row):
+R4_BASE_S = 0.022e-9        # run totals + write + window entry + streams
+R4_SEL_S = 0.0044e-9        # per window member (select + pick share)
+R4_KBLK_S = 0.006e-9        # per idx plane (pick + one-hot matmul + stream)
+R4_POH_S = 0.0002e-9        # per one-hot output row
+R4_FIXED_S = 0.27e-6        # per grid step
 X4_GB = 1024                # out-group blocks (512 KB f32 out block)
-LONG_DEG = 128              # long-row split threshold (deg ≥ this)
+LONG_DEG = 96               # long-row split threshold (deg ≥ this)
 LONG_MIN_SHARE = 0.06       # split only when long rows hold ≥ this nnz share
+PEEL_FILL = 0.08            # peel a diagonal offset at ≥ this fill
+PEEL_MIN_SHARE = 0.04       # peel only when the band holds ≥ this nnz share
+PEEL_MAX_OFFS = 32          # diagonal planes cap (k·n_row values in HBM)
 
 
 def _r4_route_slot_s(m, kblk, p_oh):
@@ -655,6 +683,35 @@ def _r4_route_slot_s(m, kblk, p_oh):
 def _r4_mul_slot_s(m):
     return (BASE_SLOT_S + (SEL_ENTRY_S if m > 1 else 0.0) + m * SEL_SLOT_S
             + 10.0 / HBM_BPS)
+
+
+def _peel_bands(rows0, cols0, n_row, n_col, nnz):
+    """High-fill diagonal offsets (the circuit-class structure lever):
+    a band at fill f costs 2·n_row streamed values to apply with static
+    slices but saves f·n_row exchange slots at ~0.2 ns each — profitable
+    from f ≈ 0.05.  Returns (offsets ascending, per-nnz mask) or (None,
+    None)."""
+    d = cols0 - rows0
+    dmin, dmax = int(d.min()), int(d.max())
+    if dmax - dmin > 4 * (n_row + n_col):
+        return None, None
+    cnt = np.bincount(d - dmin)
+    # fill relative to the offset's maximum possible length
+    lens = np.minimum(n_row + np.minimum(np.arange(dmin, dmax + 1), 0),
+                      n_col - np.maximum(np.arange(dmin, dmax + 1), 0))
+    lens = np.maximum(lens, 1)
+    fill = cnt / lens
+    cand = np.flatnonzero(fill >= PEEL_FILL)
+    if len(cand) == 0:
+        return None, None
+    if len(cand) > PEEL_MAX_OFFS:
+        cand = cand[np.argsort(cnt[cand])[::-1][:PEEL_MAX_OFFS]]
+        cand.sort()
+    if cnt[cand].sum() < PEEL_MIN_SHARE * nnz:
+        return None, None
+    keep = np.zeros(dmax - dmin + 1, np.bool_)
+    keep[cand] = True
+    return (cand + dmin).astype(np.int64), keep[d - dmin]
 
 
 def _split_long_rows(rows0, cols0, vals0, n_row, deg_thresh):
@@ -805,6 +862,32 @@ def _convert_v4(coo: COOMatrix, cfg: Config, p: dict) -> Xch4State:
     cols0 = hm.astype(coo.col, np.int64)
     vals0 = hm.astype(coo.val, dtype)
 
+    # ---- band peel (high-fill diagonals → static-slice streams) ----
+    dia_offs: tuple = ()
+    dia_vals_dev = None
+    if not p.get("no_peel"):
+        offs, mask_d = _peel_bands(rows0, cols0, coo.n_row, coo.n_col,
+                                   nnz_all)
+        if offs is not None:
+            nr = max(coo.n_row, 1)
+            oidx = np.searchsorted(offs, (cols0 - rows0)[mask_d])
+            # weighted bincount: duplicate triplets must SUM (the COO
+            # contract), not overwrite
+            planes = np.bincount(
+                oidx * np.int64(nr) + rows0[mask_d],
+                weights=vals0[mask_d].astype(np.float64),
+                minlength=len(offs) * nr).reshape(len(offs), nr)
+            planes = planes.astype(dtype)
+            dia_offs = tuple(int(o) for o in offs)
+            dia_vals_dev = device_put(planes)
+            keep = ~mask_d
+            rows0, cols0, vals0 = rows0[keep], cols0[keep], vals0[keep]
+            if len(rows0) == 0:
+                st = _empty_state4(coo, cfg)
+                return dataclasses.replace(st, nnz=nnz_all,
+                                           dia_offs=dia_offs,
+                                           dia_vals=dia_vals_dev)
+
     # ---- long-row split (structure fast-track) ----
     long_state = long_rows_dev = None
     long_n = 0
@@ -833,8 +916,9 @@ def _convert_v4(coo: COOMatrix, cfg: Config, p: dict) -> Xch4State:
             if len(rows0) == 0:
                 st = _empty_state4(coo, cfg)
                 return dataclasses.replace(
-                    st, long_n=long_n, long=long_state,
-                    long_rows=long_rows_dev)
+                    st, nnz=nnz_all, long_n=long_n, long=long_state,
+                    long_rows=long_rows_dev, dia_offs=dia_offs,
+                    dia_vals=dia_vals_dev)
     nnz = len(rows0)
 
     # ---- pass 1 ----
@@ -845,51 +929,102 @@ def _convert_v4(coo: COOMatrix, cfg: Config, p: dict) -> Xch4State:
     src, chunk1 = l1["src"], l1["chunk1"]
     rows1 = rows0[l1["o1"]]
 
-    # ---- pass 2: (chunk, band, src) sort ----
-    kblk = int(p.get("kblk", 8))
-    bs = 7 + int(np.log2(kblk))
-    gb = int(p.get("gb", X4_GB))
-    gb = max(gb - gb % kblk, kblk)
-    band = rows1 >> bs
-    n_band = int(band.max(initial=0)) + 2
-    grp_key = chunk1 * np.int64(n_band) + band
-    o2 = hm.argsort_keys(grp_key * np.int64(h1 * LANES + 1) + src)
-    src_s = src[o2]
+    # ---- pass 2: (chunk, band, src) sort + joint plan search ----
+    # t2 trades the 0.27 µs/step fixed cost against p_oh-exhaustion pads
+    # (a step covers ≈ t2/deg row blocks; low-deg matrices cut early unless
+    # p_oh grows).  kblk sets the band sort granularity: coarser bands
+    # halve the per-stream-row src span (m2 ∝ 1/kblk analytically), so
+    # after planning at the seed kblk the model extrapolates the others and
+    # re-sorts only when a ≥10% win is predicted.
+    deg_r = max(nnz / max(coo.n_row, 1), 0.25)
+    gb0 = int(p.get("gb", X4_GB))
+    t2_cands = (32, 64, 128, 256) if not p.get("t2_fix") else (p["t2_fix"],)
+
+    def _plan_at(kblk):
+        bs = 7 + int(np.log2(kblk))
+        gb = max(gb0 - gb0 % kblk, kblk)
+        band = rows1 >> bs
+        n_band = int(band.max(initial=0)) + 2
+        grp_key = chunk1 * np.int64(n_band) + band
+        o2 = hm.argsort_keys(grp_key * np.int64(h1 * LANES + 1) + src)
+        src_s = src[o2]
+        gk_s = grp_key[o2]
+        gbnd = np.flatnonzero(np.concatenate([[True],
+                                              gk_s[1:] != gk_s[:-1]]))
+        grp_starts = np.append(gbnd, nnz)
+        grp_chunk = (gk_s[gbnd] // n_band).astype(np.int64)
+        grp_band_blk = ((gk_s[gbnd] % n_band) << (bs - 7)).astype(np.int64)
+
+        if p.get("p_oh_fix"):
+            poh_of = lambda t_c: (int(p["p_oh_fix"]),)
+        else:
+            def poh_of(t_c):
+                fit = _align8(int(np.clip(t_c / deg_r + kblk, 8, 64)))
+                return tuple(sorted({fit, min(fit + 16, 64), 16}))
+
+        if p.get("m2_fix"):
+            m_cands = [_align8(p["m2_fix"], M2_CAP)]
+        else:
+            m_cands = _span_quantiles(src_s, grp_starts[1:-1])
+            m_cands = sorted(set(_align8(min(max(m, 1), M2_CAP, p1))
+                                 for m in m_cands))
+        stride = 8 if (nnz > SAMPLE_WALK_NNZ and
+                       (len(m_cands) > 1 or len(t2_cands) > 1)) else 1
+        src_e, grp_starts_e, gsel = _sample_group_runs(src_s, grp_starts,
+                                                       stride)
+        chunk_e = grp_chunk[gsel]
+        band_e = grp_band_blk[gsel]
+        n_grp_all = len(grp_starts) - 1
+        if len(gsel) == n_grp_all:
+            stride = 1
+        scale = n_grp_all / max(len(gsel), 1)
+        best = None
+        for m_c in m_cands:
+            wk = _walk(src_e, grp_starts_e, m_c)
+            for t_c in t2_cands:
+                for poh_c in poh_of(t_c):
+                    if poh_c < kblk or poh_c > gb:
+                        continue
+                    pads_e, _, _, _ = _assemble_steps(
+                        chunk_e, band_e, wk[2], t_c, kblk, poh_c, gb)
+                    h_c = int((wk[2].sum() + pads_e.sum()) * scale)
+                    sec = ((h_c / t_c) * R4_FIXED_S
+                           + h_c * LANES * _r4_route_slot_s(m_c, kblk,
+                                                            poh_c))
+                    if best is None or sec < best[0]:
+                        best = (sec, m_c, t_c, poh_c, wk, stride)
+        sec, m2, t2, p_oh, wk, stride = best
+        return dict(sec=sec, m2=m2, t2=t2, p_oh=p_oh, wk=wk, stride=stride,
+                    scale=scale,
+                    kblk=kblk, gb=gb, o2=o2, src_s=src_s,
+                    grp_starts=grp_starts, grp_chunk=grp_chunk,
+                    grp_band_blk=grp_band_blk, h_est=None)
+
+    kblk0 = int(p.get("kblk", 8))
+    pl = _plan_at(kblk0)
+    if not p.get("kblk_fix"):
+        h0 = int(pl["wk"][2].sum() * pl["scale"])
+        pred = []
+        for k2 in sorted({max(kblk0 // 2, 1), kblk0 * 2,
+                          min(kblk0 * 4, 32)} - {kblk0}):
+            m2p = _align8(max(round(pl["m2"] * kblk0 / k2), 1), M2_CAP)
+            secp = ((h0 / pl["t2"]) * R4_FIXED_S
+                    + h0 * LANES * _r4_route_slot_s(m2p, k2, pl["p_oh"]))
+            pred.append((secp, k2))
+        pred.sort()
+        if pred and pred[0][0] < 0.9 * pl["sec"]:
+            pl2 = _plan_at(pred[0][1])
+            if pl2["sec"] < pl["sec"]:
+                pl = pl2
+
+    kblk, gb, m2, t2, p_oh = (pl["kblk"], pl["gb"], pl["m2"], pl["t2"],
+                              pl["p_oh"])
+    o2, src_s = pl["o2"], pl["src_s"]
+    grp_starts, grp_chunk, grp_band_blk = (pl["grp_starts"], pl["grp_chunk"],
+                                           pl["grp_band_blk"])
     rows_s = rows1[o2]
-    gk_s = grp_key[o2]
-    gbnd = np.flatnonzero(np.concatenate([[True], gk_s[1:] != gk_s[:-1]]))
-    grp_starts = np.append(gbnd, nnz)
-    grp_chunk = (gk_s[gbnd] // n_band).astype(np.int64)
-    grp_band_blk = ((gk_s[gbnd] % n_band) << (bs - 7)).astype(np.int64)
-
-    # m2/t2 walk selection on the fitted v4 model
-    p_oh = int(p.get("p_oh", 16))
-    t2_cands = (32, 64, 128) if not p.get("t2_fix") else (p["t2_fix"],)
-
-    if p.get("m2_fix"):
-        m_cands = [_align8(p["m2_fix"], M2_CAP)]
-    else:
-        m_cands = _span_quantiles(src_s, grp_starts[1:-1])
-        m_cands = sorted(set(_align8(min(max(m, 1), M2_CAP, p1))
-                             for m in m_cands))
-    stride = 8 if (nnz > SAMPLE_WALK_NNZ and
-                   (len(m_cands) > 1 or len(t2_cands) > 1)) else 1
-    src_e, grp_starts_e = _sample_groups(src_s, grp_starts, stride)
-    chunk_e = grp_chunk[::stride] if stride > 1 else grp_chunk
-    band_e = grp_band_blk[::stride] if stride > 1 else grp_band_blk
-    best = None
-    for m_c in m_cands:
-        wk = _walk(src_e, grp_starts_e, m_c)
-        for t_c in t2_cands:
-            pads_e, _, _, _ = _assemble_steps(chunk_e, band_e, wk[2], t_c,
-                                              kblk, p_oh, gb)
-            h_c = int(wk[2].sum() + pads_e.sum()) * stride
-            sec = ((h_c / t_c) * R4_FIXED_S
-                   + h_c * LANES * _r4_route_slot_s(m_c, kblk, p_oh))
-            if best is None or sec < best[0]:
-                best = (sec, m_c, t_c, wk)
-    _, m2, t2, wk = best
-    if stride > 1:
+    wk = pl["wk"]
+    if pl["stride"] > 1:
         wk = _walk(src_s, grp_starts, m2)
     sizes2, bases2, grows2 = wk
 
@@ -1007,13 +1142,14 @@ def _convert_v4(coo: COOMatrix, cfg: Config, p: dict) -> Xch4State:
         t2=t2, kblk=kblk, p_oh=p_oh, gb=gb, n_chunks=n_chunks, p1=p1,
         cb_pad=cb_tot + m1, n_slots1=h1 * LANES, n_slots2=h2 * LANES,
         chunk_ngrp=tuple(c[3] for c in cz), long_n=long_n,
+        dia_offs=dia_offs,
         win1=tuple(w1_t), lane1=tuple(la1_t), sub1=tuple(su1_t),
         val1=tuple(va1_t),
         gids2=tuple(g_t), off2=tuple(o_t), cs2=tuple(c_t),
         win2=tuple(w_t), lane2=tuple(la_t), sub2=tuple(su_t),
         hm2=tuple(hm_t), sig2=tuple(sg_t), idx2=tuple(ix_t),
         vis_gids=device_put(u_gids.astype(np.int32)),
-        long=long_state, long_rows=long_rows_dev)
+        long=long_state, long_rows=long_rows_dev, dia_vals=dia_vals_dev)
 
 
 def _empty_state4(coo, cfg):
@@ -1044,6 +1180,19 @@ def estimate_v4(coo: COOMatrix, cfg: Config, no_long: bool = False) -> dict:
         return {"feasible": False, "est_s": 0.0, "route_v": 4}
     if cdiv(n_c, LANES) * LANES * np.dtype(cfg.dtype).itemsize > X_TABLE_CAP:
         return {"feasible": False, "est_s": float("inf"), "route_v": 4}
+    # band peel: count the high-fill diagonal mass (cheap bincount) and
+    # cost the exchange on the residual only
+    peel_nnz, n_offs = 0, 0
+    dia_sec = 0.0
+    if not no_long and coo.nnz:
+        offs_e, mask_e = _peel_bands(hm.astype(coo.row, np.int64),
+                                     hm.astype(coo.col, np.int64),
+                                     n_r, n_c, nnz)
+        if offs_e is not None:
+            peel_nnz = int(mask_e.sum())
+            n_offs = len(offs_e)
+            dia_sec = n_offs * n_r * 8.0 / HBM_BPS
+    nnz = max(nnz - peel_nnz, 1)
     deg = nnz / n_r
     # 3-factor balance on K = n_c·n_r/(128·nnz) with the fitted weights.
     # The chunk floor (≥ 384 product rows) keeps the p1-alignment and
@@ -1074,7 +1223,8 @@ def estimate_v4(coo: COOMatrix, cfg: Config, no_long: bool = False) -> dict:
     n_grp_est = nnz / k_slots + n_r / (kblk * LANES)
     slots2 = 1.05 * nnz + n_grp_est * (t2 / 4) * LANES \
         + (n_r / (kblk * LANES)) * 64
-    sec = (slots1 * _r4_mul_slot_s(m1) + slots1 / LANES / 128 * MUL_FIXED_S
+    sec = (dia_sec
+           + slots1 * _r4_mul_slot_s(m1) + slots1 / LANES / 128 * MUL_FIXED_S
            + slots2 * _r4_route_slot_s(m2, kblk, p_oh)
            + slots2 / LANES / t2 * R4_FIXED_S)
     out = {"feasible": True, "est_s": float(sec), "route_v": 4,
@@ -1111,8 +1261,6 @@ def _spmv_v4(state: Xch4State, x):
     from ..ops.pallas.xch import xch_mul, xch_route4
 
     n = state.n_row
-    if state.nnz == 0:
-        return jnp.zeros((n,), x.dtype)
     total_blocks = cdiv(max(n, 1), LANES)
     n_grp_tot = cdiv(total_blocks, state.gb)
     y = None
@@ -1146,7 +1294,25 @@ def _spmv_v4(state: Xch4State, x):
         y_long = _spmv_v4(state.long, x)
         y = y.at[state.long_rows].add(y_long, mode="drop",
                                       unique_indices=True)
+    if state.dia_vals is not None:
+        y = y + _dia_part(state, x)
     return y
+
+
+def _dia_part(state: Xch4State, x):
+    """Peeled bands: one static shifted slice of x per offset (dia.py's
+    design) — no index arrays, pure streaming, XLA fuses the offsets."""
+    import jax.numpy as jnp
+
+    n = state.n_row
+    offs = state.dia_offs
+    mmax = max(max(abs(o) for o in offs), 1)
+    xp = jnp.zeros((max(n, state.n_col) + 2 * mmax,), x.dtype)
+    xp = xp.at[mmax: mmax + state.n_col].set(x)
+    acc = jnp.zeros((n,), x.dtype)
+    for k, d in enumerate(offs):
+        acc = acc + state.dia_vals[k] * xp[mmax + d: mmax + d + n]
+    return acc
 
 
 def wslot_starts(sizes):
@@ -1357,11 +1523,14 @@ def spmm(state, X):
 def report_fields(state, cfg: Config) -> dict:
     if isinstance(state, Xch4State):
         out = {"Window1Blocks": state.m1, "Window2Blocks": state.m2,
-               "KBlk": state.kblk, "POh": state.p_oh,
+               "KBlk": state.kblk, "POh": state.p_oh, "T2": state.t2,
                "Chunks": state.n_chunks, "RouteV": 4,
                "PadFactor": round((state.n_slots1 + state.n_slots2)
-                                  / max(2 * (state.nnz - _long_nnz(state)),
-                                        1), 3)}
+                                  / max(2 * (state.nnz - _long_nnz(state)
+                                             - _peel_nnz(state)), 1), 3)}
+        if state.dia_offs:
+            out["PeelOffs"] = len(state.dia_offs)
+            out["PeelNnz"] = _peel_nnz(state)
         if state.long is not None:
             out["LongRows"] = state.long_n
             out["LongPad"] = round(
@@ -1379,13 +1548,19 @@ def _long_nnz(state) -> int:
     return state.long.nnz if getattr(state, "long", None) is not None else 0
 
 
+def _peel_nnz(state) -> int:
+    dv = getattr(state, "dia_vals", None)
+    return int(np.count_nonzero(np.asarray(dv))) if dv is not None else 0
+
+
 def traffic_bytes(state, cfg: Config) -> int:
     vsz = np.dtype(cfg.dtype).itemsize
     if isinstance(state, Xch4State):
         pass1 = state.n_slots1 * (vsz + 2) + state.n_slots1 * 4
         pass2 = state.n_slots2 * (4 + state.kblk) + state.n_slots1 * 4
         tot = (pass1 + pass2 + state.n_row * vsz
-               + state.cb_pad * LANES * vsz)
+               + state.cb_pad * LANES * vsz
+               + len(state.dia_offs) * state.n_row * 2 * vsz)
         if state.long is not None:
             tot += traffic_bytes(state.long, cfg)
         return tot
@@ -1400,6 +1575,11 @@ def _to_coo_v4(state: Xch4State) -> COOMatrix:
     /root/reference/opt/Benchmark_SpMV_using_CSR5/CSR5_avx2/anonymouslib_avx2.h)."""
     cat = lambda t, ax=0: np.concatenate([np.asarray(a) for a in t], axis=ax)
     parts = []
+    if state.dia_vals is not None:
+        dv = np.asarray(state.dia_vals).astype(np.float64)
+        for k, d in enumerate(state.dia_offs):
+            rr = np.flatnonzero(dv[k] != 0)
+            parts.append((rr.astype(np.int64), rr + d, dv[k][rr]))
     if state.long is not None:
         sub = _to_coo_v4(state.long)
         lr = np.asarray(state.long_rows).astype(np.int64)
