@@ -42,17 +42,31 @@ MXU_FLOPS = _cc.get("mxu_flops")           # effective f32 matmul flops/s
 
 def _stats(coo: COOMatrix, cfg: Config):
     vsz = np.dtype(cfg.dtype).itemsize
-    n_diag = len(np.unique(coo.col.astype(np.int64) - coo.row.astype(np.int64))) \
-        if coo.nnz else 1
+    # past 20 M nnz the exact uniques cost ~12 s of sorts (r5 cage15
+    # profile); a contiguous-slice sample scaled by the sampling factor
+    # ranks the same engines (distinct-count scaling is sublinear, so the
+    # scaled value over-counts — conservative for dia/bsr, which only
+    # matters when they were hopeless anyway)
+    SAMP = 20_000_000
+    if coo.nnz > SAMP:
+        step = coo.nnz // (SAMP // 4)
+        row = coo.row[::step].astype(np.int64)
+        col = coo.col[::step].astype(np.int64)
+        scale = coo.nnz / len(row)
+    else:
+        row = coo.row.astype(np.int64)
+        col = coo.col.astype(np.int64)
+        scale = 1.0
+    n_diag = int(len(np.unique(col - row)) * scale) if coo.nnz else 1
     bm, bn = max(8, cfg.row_block), cfg.lane_width
-    blocks = len(np.unique((coo.row.astype(np.int64) // bm) * (2 ** 32)
-                           + coo.col.astype(np.int64) // bn)) if coo.nnz else 1
+    blocks = int(len(np.unique((row // bm) * (2 ** 32) + col // bn))
+                 * scale) if coo.nnz else 1
     # CSS combine slots ≈ number of (row, col-block) runs; pad ≈ half a tile
     # per nonempty column block (tile = 8·W_eff, W_eff ~ avg block / 8).
     if coo.nnz:
-        cb = coo.col.astype(np.int64) // 128
-        runs = len(np.unique(coo.row.astype(np.int64) * (2 ** 32) + cb))
-        n_cb = len(np.unique(cb))
+        cb = col // 128
+        runs = int(len(np.unique(row * (2 ** 32) + cb)) * scale)
+        n_cb = max(int(len(np.unique(cb)) * min(scale, 4.0)), 1)
         w_eff = max(128, -(-int(coo.nnz / n_cb / 8) // 128) * 128)
         css_stream = coo.nnz + n_cb * 4 * w_eff
     else:
@@ -92,8 +106,9 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
                         + css_stream * (vsz + 4) / HBM_BPS)
     # bkt: two-phase scatter-free bucketing (streamed slots + lane gather).
     # Giant guard: bkt.estimate materializes the full bucket-key pipeline
-    # (measured 41 GB RSS / 423 s on cage15's 99 M nnz) and bkt never beats
-    # slab at that scale — skip it past 30 M nnz.
+    # (r4: 41 GB RSS / 423 s on cage15's 99 M nnz; r5: _ghost_counts alone
+    # 143 s on hyb's 25 M-nnz cage15 RESIDUAL through the _inner call) and
+    # bkt never beats slab past mid scale — skip it past 8 M nnz.
     from ..ops import pallas as pallas_pkg
 
     # hyper-sparse giant fast path (r4): on the scatter class (deg < 12,
@@ -104,7 +119,7 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
     # dia/dense/bsr/css/xch/csr closed forms remain candidates.
     hyper_sparse = (not _inner and nnz / max(n, 1) < 12 and n >= 500_000)
 
-    if (coo.nnz and coo.nnz <= 30_000_000 and not hyper_sparse
+    if (coo.nnz and coo.nnz <= 8_000_000 and not hyper_sparse
             and pallas_pkg.supports(cfg.np_dtype)):
         # stage A: lane+val+prod = 9 B/slot streamed + wide lane gather
         # (measured 64 G elem/s at W=1024); stage B: prod+hm1+idx streamed +
@@ -199,6 +214,14 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
                             + blocks * bn * b * vsz / HBM_BPS     # X gather
                             + blocks * bm * bn * b * 2.0 / MXU_FLOPS
                             + blocks * 1e-8)
+            elif k in ("slab", "slab2") and b <= 32:
+                # slab has a panel kernel (slab_spmm, B<=32) that reads the
+                # index/value streams once for all columns (r4 ADVICE: the
+                # flat B multiplier systematically overpriced slab).  The
+                # honest measured amortization is small — 1.02-1.05x over
+                # vmap (results/r4_tpu_spmm.txt) — so the model uses the
+                # measured 1.05, not the hoped-for stream share.
+                costs[k] = costs[k] * b / 1.05
             else:
                 costs[k] = costs[k] * b
 
@@ -457,3 +480,9 @@ def traffic_bytes(state: AutoState, cfg: Config) -> int:
     m, nnz = state.n_row, state.nnz
     vsz = np.dtype(cfg.dtype).itemsize
     return (m + 1 + nnz) * 4 + (2 * nnz + m) * vsz
+
+
+def attainable_seconds(state: AutoState, cfg: Config):
+    mod = _MODULES[state.chosen]
+    fn = getattr(mod, "attainable_seconds", None)
+    return fn(state.inner, cfg) if fn else None

@@ -444,9 +444,11 @@ def _chunk_cuts(uids, n_steps: int, t_step: int, n_units: int):
     return out
 
 
-SAMPLE_NNZ = 16_000_000     # estimate on a 1/s row-unit sample past this —
+SAMPLE_NNZ = 6_000_000      # estimate on a 1/s row-unit sample past this —
 #                             r3's full-grid estimate (16 sorted walks) was
 #                             the 146-916 s convert-time hotspot on giants
+#                             (r5: 16 M samples still cost 20 s/call at
+#                             cage15 scale through hyb's residual recursion)
 
 
 def estimate(coo: COOMatrix, cfg: Config) -> dict:
@@ -984,3 +986,22 @@ def to_coo(state: SlabState) -> COOMatrix:
     return COOMatrix.from_triplets(
         state.n_row, state.n_col,
         rows[mask], cols[mask], val[mask], sort=True)
+
+
+def attainable_seconds(state: SlabState, cfg: Config) -> float:
+    """Per-plan attainable bound (r5 VERDICT #8): the fitted step-cost model
+    evaluated at the CONVERTED state's own (mode, m, t, planes, kblk) and
+    real slot count — the engine-specific speed of light, as opposed to the
+    HBM roofline (which windowed gather engines cannot reach: their floor is
+    the measured select/route VPU rates, not streaming)."""
+    if state.n_slots == 0:
+        return 0.0
+    kblk = state.idx[0].shape[0] if (state.mode == "blk" and state.idx) else 1
+    h = state.n_slots // LANES
+    sec = _mode_cost(state.mode, state.planes, state.m, h, state.n_slots,
+                     state.t_step, 0.0, kblk=kblk)
+    if cfg.dtype == "float64":
+        sec *= DF_COST
+    # x table residency + y writeback
+    sec += (state.cb_pad * LANES + 2 * state.n_row) * 4 / _cc.get("hbm_bps")
+    return float(sec)

@@ -148,10 +148,6 @@ class XchState:
     idx2: object            # k × (span·planes, H2_c, 128) int8 — σ-plane
     #                         end-lanes, −1 masked
     bucket_ids: object      # (n_buckets,) int32 — original bucket ids
-    lo_mask: object = None  # span=2: (n_buckets, 1) dtype — 0 where the
-    #                         bucket is never a step's first (its block is
-    #                         unwritten garbage; contributions arrive via
-    #                         the previous block's hi half)
     gids2: object = None    # k × (S_c,) int32 — call-local bucket G-group
     #                         per step (out block index)
     sg0_2: object = None    # k × (S_c,) int32 — first active σ plane/step
@@ -582,9 +578,6 @@ def _convert_v3(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
     uids = bidx0[g_step].astype(np.int32)         # compact, non-decreasing
     gids = uids // G_GRP                          # out-block G-group
     chunk_step = grp_chunk[g_step].astype(np.int32)
-    written = hm.zeros(n_buckets, np.bool_)
-    written[uids.astype(np.int64)] = True
-    lo_mask = written.astype(dtype).reshape(n_buckets, 1)
 
     # σ: span-local — off = run's compact bucket − step's first bucket
     grp_run = grp_of_frow[sr_run]                 # group per run end
@@ -650,7 +643,7 @@ def _convert_v3(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
         uids2=tuple(u_t), cs2=tuple(c_t), win2=tuple(w_t),
         lane2=tuple(la_t), sub2=tuple(su_t), hm2=tuple(hm_t),
         idx2=tuple(ix_t), bucket_ids=device_put(ub.astype(np.int32)),
-        lo_mask=device_put(lo_mask), gids2=tuple(g_t),
+        gids2=tuple(g_t),
         sg0_2=tuple(s0_t), sg1_2=tuple(s1_t))
 
 
@@ -1029,7 +1022,9 @@ def _convert_v4(coo: COOMatrix, cfg: Config, p: dict) -> Xch4State:
     sizes2, bases2, grows2 = wk
 
     # an out group must fit one pallas call (SMEM prefetch cap): shrink gb
-    # until the densest group's PADDED step count fits the call budget
+    # until the densest group's PADDED step count fits the call budget.
+    # gb_fix (distributed stacking: every shard must agree on gb) skips the
+    # shrink — an oversized group then raises in _chunk_steps.
     cap_steps = max(CHUNK_ROWS // t2, 1)
     gb_min = max(2 * kblk, 8)
     while True:
@@ -1037,7 +1032,8 @@ def _convert_v4(coo: COOMatrix, cfg: Config, p: dict) -> Xch4State:
         pads, st_base, st_gid, st_cs = _assemble_steps(
             grp_chunk, grp_band_blk, grows2, t2, kblk, p_oh_eff, gb)
         per_grp = np.bincount(st_gid) if len(st_gid) else np.zeros(1, int)
-        if per_grp.max(initial=0) <= cap_steps or gb <= gb_min:
+        if per_grp.max(initial=0) <= cap_steps or gb <= gb_min \
+                or p.get("gb_fix"):
             break
         gb = max((gb // 2) // kblk * kblk, gb_min)
     p_oh = p_oh_eff
@@ -1229,7 +1225,8 @@ def estimate_v4(coo: COOMatrix, cfg: Config, no_long: bool = False) -> dict:
            + slots2 / LANES / t2 * R4_FIXED_S)
     out = {"feasible": True, "est_s": float(sec), "route_v": 4,
            "k_slots": k_slots, "kblk": kblk,
-           "p_oh": p_oh, "gb": gb, "slots": int(slots1 + slots2)}
+           "p_oh": p_oh, "gb": gb, "slots": int(slots1 + slots2),
+           "m1_hint": m1, "m2_hint": m2}
     # long-row fast-track: K for the compacted long submatrix is tiny
     if not no_long and n_r >= 4096:
         degs = np.bincount(hm.astype(coo.row, np.int64), minlength=n_r)
@@ -1328,7 +1325,7 @@ def _chunk_steps(uids, n_steps, n_buckets, max_steps=None):
     cutting at new-bucket steps.  Returns [(s0, s1, first_bucket,
     n_buckets_in_chunk)]; the last chunk covers through ``n_buckets`` (with
     span, a trailing bucket may never be a step's first — its block stays
-    unwritten, lo_mask drops it)."""
+    unwritten; the caller zero-pads the missing trailing buckets)."""
     if n_steps == 0:
         return []
     cap = max_steps if max_steps else n_steps
@@ -1697,3 +1694,27 @@ def to_coo(state) -> COOMatrix:
     return COOMatrix.from_triplets(
         state.n_row, state.n_col,
         rows[mask][keep], cols[keep], vals[keep], sort=True)
+
+
+def attainable_seconds(state, cfg: Config) -> float:
+    """Engine speed-of-light for the converted plan (r5 VERDICT #8): the
+    fitted v4 rate model at the state's own (m1, m2, kblk, p_oh, t) and
+    real padded slot counts.  The HBM roofline is unreachable for windowed
+    exchange engines — their floor is the measured select/pick VPU rates —
+    so AttainablePct, not RooflinePct, is the honest utilization metric."""
+    if not isinstance(state, Xch4State):
+        return 0.0
+    sec = 0.0
+    if state.n_slots1:
+        sec += (state.n_slots1 * _r4_mul_slot_s(state.m1)
+                + state.n_slots1 / LANES / max(state.t1, 1) * MUL_FIXED_S)
+        sec += (state.n_slots2 * _r4_route_slot_s(state.m2, state.kblk,
+                                                  state.p_oh)
+                + state.n_slots2 / LANES / max(state.t2, 1) * R4_FIXED_S)
+    if state.dia_vals is not None:
+        sec += len(state.dia_offs) * state.n_row * 8.0 / HBM_BPS
+    if state.long is not None:
+        sec += attainable_seconds(state.long, cfg)
+        sec += state.long_n * 7e-9          # final scatter-add
+    sec += 3 * state.n_row * 4.0 / HBM_BPS  # x pad + y grid assembly
+    return float(sec)

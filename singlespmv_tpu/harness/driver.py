@@ -327,6 +327,16 @@ def _run_benchmark_inner(matrix, cfg, *, coo, mat_name, x, quick,
     chip = detect_chip()
     traffic = formats.traffic_bytes(state, cfg)
     roof = roofline(traffic, coo.nnz, best, chip)
+    # engine-specific speed of light (r5): the fitted rate model at the
+    # converted plan — the honest bound for compute-bound windowed engines,
+    # reported alongside the HBM roofline (VERDICT r4 #8)
+    att_fn = getattr(formats.get_format(cfg.format), "attainable_seconds",
+                     None)
+    att_s = att_fn(state, cfg) if att_fn else None
+    if not att_s:
+        att_s = roof["SolTime(s)"]          # streaming engines: HBM bound
+    roof["AttainableTime(s)"] = att_s
+    roof["AttainablePct"] = 100.0 * att_s / best if best > 0 else 0.0
 
     # --- report block, reference key schema first (main.cpp:109-207) ---
     report: Dict[str, object] = {

@@ -36,7 +36,7 @@ BASELINE_AVX2: Dict[str, float] = {
 
 TSV_COLS = ("Matrix", "nRow", "nNnz", "ChosenFormat", "GFLOPS",
             "BaselineGFLOPS", "vsBaseline", "BandwidthGBs", "RooflinePct",
-            "OptimizeTimeS", "Verify")
+            "AttainPct", "OptimizeTimeS", "Verify")
 
 
 def run_suite(names: Optional[List[str]] = None, *,
@@ -97,6 +97,7 @@ def run_suite(names: Optional[List[str]] = None, *,
                 "vsBaseline": round(res.gflops / base, 3) if base else "",
                 "BandwidthGBs": round(r.get("Bandwidth(GB/s)", 0.0), 1),
                 "RooflinePct": round(r.get("RooflinePct", 0.0), 1),
+                "AttainPct": round(r.get("AttainablePct", 0.0), 1),
                 "OptimizeTimeS": round(r["OptimizeTime(s)"], 2),
                 "Verify": r["Verify"],
             })

@@ -9,6 +9,7 @@ remote segments exchanged with XLA collectives (``all_gather`` / ``psum``) insid
 from .mesh import make_mesh, device_count
 from .halo import HaloSpMV
 from .spmv import DistSpMV, partition_rows_balanced
+from .xchd import DistXch
 
-__all__ = ["make_mesh", "device_count", "DistSpMV", "HaloSpMV",
+__all__ = ["make_mesh", "device_count", "DistSpMV", "DistXch", "HaloSpMV",
            "partition_rows_balanced"]

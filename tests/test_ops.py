@@ -93,6 +93,33 @@ class TestSpGEMM:
         c = spgemm_coo(a, b)  # A's col 4 misses B's only row 0
         assert c.nnz == 0
 
+    def test_powerlaw_b_no_capacity_blowup(self):
+        """r4 VERDICT #10: one dense row in B must not explode the candidate
+        rectangle (old capacity nnz_A·max_deg(B) = 100k·20k slots here)."""
+        rng = np.random.default_rng(5)
+        n = 100_000
+        a = COOMatrix.from_triplets(
+            n, n, rng.integers(0, n, 100_000), rng.integers(0, n, 100_000),
+            rng.uniform(1, 2, 100_000), sum_duplicates=True)
+        # B: light scatter + one 20k-entry dense row
+        br = np.concatenate([rng.integers(0, n, 80_000),
+                             np.full(20_000, 1234)])
+        bc = np.concatenate([rng.integers(0, n, 80_000),
+                             rng.choice(n, 20_000, replace=False)])
+        b = COOMatrix.from_triplets(n, n, br, bc,
+                                    rng.uniform(1, 2, len(br)),
+                                    sum_duplicates=True)
+        c = spgemm_coo(a, b)
+        # spot-check against the scipy-style reference on a row sample
+        import scipy.sparse as sp  # noqa: F401  (absent: skip check)
+        A = sp.coo_matrix((a.val, (a.row, a.col)), shape=(n, n)).tocsr()
+        B = sp.coo_matrix((b.val, (b.row, b.col)), shape=(n, n)).tocsr()
+        C = (A @ B).tocoo()
+        ref = COOMatrix.from_triplets(n, n, C.row, C.col, C.data,
+                                      sum_duplicates=True)
+        assert c.nnz == ref.nnz
+        np.testing.assert_allclose(c.val, ref.val, rtol=1e-9, atol=1e-12)
+
 
 def _tri(n, lower=True, seed=0, density=0.2):
     rng = np.random.default_rng(seed)
