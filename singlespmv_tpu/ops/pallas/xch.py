@@ -306,3 +306,153 @@ def xch_route(uids, gids, cs, sg0, sg1, win, lane, sub, hm1, idx, prod3,
             g_grp * planes * LANES * prod3.dtype.itemsize * 2),
         interpret=_use_interpret(),
     )(uids, gids, cs, sg0, sg1, win, lane, sub, hm1, idx, prod3)
+
+
+# ------------------------------------------------------------- SpMM panel ---
+
+def _xch_mul_panel_kernel(win_ref, lane_ref, sub_ref, val_ref, x_ref,
+                          out_ref, *, m: int, B: int):
+    """Panel pass-1: the index/value streams (win, lane, sub, val) are read
+    ONCE for all B panel columns; per column only the window slice + gather
+    + select + multiply repeat.  A vmap over xch_mul re-streams 10 B/slot
+    per column — the streams are ~40% of the mul budget at m ≤ 8."""
+    t = pl.program_id(0)
+    T = lane_ref.shape[0]
+    lane = lane_ref[:].astype(jnp.int32)
+    sub = sub_ref[:].astype(jnp.int32) if m > 1 else None
+    val = val_ref[:]
+    for b in range(B):
+        wins = [x_ref[b, pl.ds(win_ref[t * T + r], m), :] for r in range(T)]
+        ws = jnp.concatenate(wins, axis=0) if T > 1 else wins[0]
+        if m == 1:
+            g = jnp.take_along_axis(ws, lane, axis=1)
+        else:
+            lane_m = jnp.broadcast_to(lane[:, None, :], (T, m, LANES)
+                                      ).reshape(T * m, LANES)
+            tk = jnp.take_along_axis(ws, lane_m, axis=1).reshape(T, m, LANES)
+            srow = jax.lax.broadcasted_iota(jnp.int32, (T, m, LANES), 1)
+            g = jnp.sum(jnp.where(srow == sub[:, None, :], tk, 0.0), axis=1)
+        out_ref[b] = val * g
+
+
+def xch_mul_panel(win, lane, sub, val, x_tables, m: int, T: int = 64):
+    """x_tables: (B, CB, 128); returns (B, H, 128) products."""
+    h = lane.shape[0]
+    n_steps = h // T
+    B = x_tables.shape[0]
+    spec8 = lambda: pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_xch_mul_panel_kernel, m=m, B=B),
+        out_shape=jax.ShapeDtypeStruct((B, h, LANES), val.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_steps,),
+            in_specs=[
+                spec8(), spec8(), spec8(),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((B, T, LANES), lambda t, *_: (0, t, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=_vmem_params(
+            x_tables, T * LANES * (2 + 2 * B * val.dtype.itemsize), 0),
+        interpret=_use_interpret(),
+    )(win, lane, sub, val, x_tables)
+
+
+def _xch_route4_panel_kernel(gids_ref, off_ref, cs_ref, win_ref, lane_ref,
+                             sub_ref, hm_ref, sig_ref, idx_ref, prod_ref,
+                             out_ref, *, m: int, kblk: int, p_oh: int,
+                             B: int):
+    """Panel pass-2: idx/sig/lane/sub/hm stream once for all B columns and
+    the one-hot route batches into ONE (p_oh, T) @ (T, B·128) matmul per
+    idx plane."""
+    t = pl.program_id(0)
+
+    first = jnp.logical_or(
+        t == 0, gids_ref[jnp.maximum(t, 1)] != gids_ref[jnp.maximum(t, 1) - 1])
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    T = lane_ref.shape[0]
+    lane = lane_ref[:].astype(jnp.int32)
+    sub = sub_ref[:].astype(jnp.int32) if m > 1 else None
+    ws_b = []
+    for b in range(B):
+        wins = [prod_ref[b, 0, pl.ds(win_ref[t * T + r], m), :]
+                for r in range(T)]
+        ws_b.append(jnp.concatenate(wins, axis=0) if T > 1 else wins[0])
+    w_cols = []
+    for b in range(B):
+        if m == 1:
+            g = jnp.take_along_axis(ws_b[b], lane, axis=1)
+        else:
+            lane_m = jnp.broadcast_to(lane[:, None, :], (T, m, LANES)
+                                      ).reshape(T * m, LANES)
+            tk = jnp.take_along_axis(ws_b[b], lane_m,
+                                     axis=1).reshape(T, m, LANES)
+            srow = jax.lax.broadcasted_iota(jnp.int32, (T, m, LANES), 1)
+            g = jnp.sum(jnp.where(srow == sub[:, None, :], tk, 0.0), axis=1)
+        w_cols.append(_run_totals(g, hm_ref[:]))
+
+    sig = sig_ref[:, :p_oh].astype(jnp.int32)
+    iot = jax.lax.broadcasted_iota(jnp.int32, (T, p_oh), 1)
+    acc_t = jnp.float32 if w_cols[0].dtype in (jnp.bfloat16, jnp.float16,
+                                               jnp.float32) \
+        else w_cols[0].dtype
+    acc = None
+    for j in range(kblk):
+        e = idx_ref[j].astype(jnp.int32)
+        valid = e >= 0
+        ms = []
+        for b in range(B):
+            picked = jnp.take_along_axis(w_cols[b],
+                                         jnp.where(valid, e, 0), axis=1)
+            ms.append(jnp.where(valid, picked, 0.0))
+        masked = jnp.concatenate(ms, axis=1)            # (T, B·128)
+        oh = (sig + j == iot).astype(masked.dtype)
+        c = jnp.dot(oh.T, masked, preferred_element_type=acc_t,
+                    precision=jax.lax.Precision.HIGHEST).astype(masked.dtype)
+        acc = c if acc is None else acc + c
+    acc3 = acc.reshape(p_oh, B, LANES).transpose(1, 0, 2)
+    out_ref[:, pl.ds(off_ref[t], p_oh), :] += acc3
+
+
+def xch_route4_panel(gids, off, cs, win, lane, sub, hm1, sig, idx, prod3,
+                     n_grp: int, gb: int, m: int, T: int = 64,
+                     p_oh: int = 16):
+    """prod3: (B, n_chunks, P1, 128); returns (B, n_grp·gb, 128)."""
+    h = lane.shape[0]
+    n_steps = h // T
+    B, _, p1, _ = prod3.shape
+    kblk = idx.shape[0]
+    spec8 = lambda: pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_xch_route4_panel_kernel, m=m, kblk=kblk,
+                          p_oh=p_oh, B=B),
+        out_shape=jax.ShapeDtypeStruct((B, n_grp * gb, LANES), prod3.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_steps,),
+            in_specs=[
+                spec8(), spec8(), spec8(), spec8(),
+                pl.BlockSpec((kblk, T, LANES), lambda t, *_: (0, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 1, p1, LANES),
+                             lambda t, g, o, c, w: (0, c[t], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((B, gb, LANES),
+                                   lambda t, g, o, c, w: (0, g[t], 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=_vmem_params_bytes(
+            2 * B * p1 * LANES * prod3.dtype.itemsize,
+            T * LANES * (4 + kblk + B),
+            B * gb * LANES * prod3.dtype.itemsize * 2),
+        interpret=_use_interpret(),
+    )(gids, off, cs, win, lane, sub, hm1, sig, idx, prod3)

@@ -192,3 +192,22 @@ def test_xch_long_row_split():
     assert rt.nnz == dedup.nnz
     np.testing.assert_array_equal(rt.row, dedup.row)
     np.testing.assert_array_equal(rt.col, dedup.col)
+
+
+def test_xch_spmm_panel():
+    """v4 panel SpMM (index streams shared across columns) must match the
+    vmap'd spmv column-by-column result."""
+    coo = _mix(20000, 160000, 0)
+    st = convert(coo, F32)
+    assert isinstance(st, xch_mod.Xch4State)
+    rng = np.random.default_rng(4)
+    X = rng.uniform(-1, 1, (coo.n_col, 8)).astype(np.float32)
+    Y = np.asarray(jax.jit(xch_mod.spmm)(st, jax.numpy.asarray(X)))
+    for b in (0, 3, 7):
+        y = np.asarray(jax.jit(xch_mod.spmv)(st, jax.numpy.asarray(X[:, b])))
+        np.testing.assert_allclose(Y[:, b], y, rtol=2e-5, atol=1e-6)
+    # oracle check on one column
+    yref = np.zeros(coo.n_row)
+    np.add.at(yref, coo.row, coo.val * X[coo.col, 0].astype(np.float64))
+    ok, det = verify_result(coo, X[:, 0], Y[:, 0], dtype=np.float32)
+    assert ok, det
