@@ -1230,13 +1230,17 @@ def estimate_v4(coo: COOMatrix, cfg: Config, no_long: bool = False) -> dict:
     # long-row fast-track: K for the compacted long submatrix is tiny
     if not no_long and n_r >= 4096:
         degs = np.bincount(hm.astype(coo.row, np.int64), minlength=n_r)
-        long_nnz = int(degs[degs >= LONG_DEG].sum())
+        # nnz here is already peel-reduced; cap the long mass accordingly
+        # (r5 bug: the raw full-matrix long mass made rest_nnz NEGATIVE on
+        # dense-row matrices — RM07R's xch estimate read −2.7 ms and auto
+        # flipped away from the measured-faster hyb)
+        long_nnz = min(int(degs[degs >= LONG_DEG].sum()), nnz - 1)
         if long_nnz >= LONG_MIN_SHARE * nnz:
             n_long = int((degs >= LONG_DEG).sum())
             sub_sec = long_nnz * (_r4_mul_slot_s(1)
                                   + _r4_route_slot_s(8, 2, 8))
             # residual cost: same closed form on the remaining degree mass
-            rest_nnz = nnz - long_nnz
+            rest_nnz = max(nnz - long_nnz, 1)
             Kr = max(n_c * n_r / (LANES * max(rest_nnz, 1)), 1.0)
             cr = (Kr * w1 * w2 * w3) ** (1.0 / 3.0)
             rest_sec = rest_nnz * 1.15 * (

@@ -211,3 +211,23 @@ def test_xch_spmm_panel():
     np.add.at(yref, coo.row, coo.val * X[coo.col, 0].astype(np.float64))
     ok, det = verify_result(coo, X[:, 0], Y[:, 0], dtype=np.float32)
     assert ok, det
+
+
+def test_xch_estimate_positive_on_dense_row_matrices():
+    """r5 regression: the long-row branch once subtracted the FULL-matrix
+    long mass from the peel-reduced nnz, producing a NEGATIVE estimate on
+    dense-row matrices (RM07R read −2.7 ms and auto flipped away from the
+    measured-faster hyb)."""
+    rng = np.random.default_rng(3)
+    n = 30000
+    # block-dense rows (deg ~120, all >= LONG_DEG) + a strong diagonal band
+    rows = np.repeat(np.arange(0, n, 4), 120)
+    cols = (rows + rng.integers(-60, 60, rows.size)) % n
+    d = np.arange(n)
+    rows = np.concatenate([rows, d, d[:-1]])
+    cols = np.concatenate([cols, d, d[:-1] + 1])
+    coo = COOMatrix.from_triplets(n, n, rows, cols,
+                                  rng.uniform(1, 2, rows.size),
+                                  sum_duplicates=True)
+    est = xch_mod.estimate_v4(coo, Config(format="xch", dtype="float32"))
+    assert est["feasible"] and est["est_s"] > 0, est
