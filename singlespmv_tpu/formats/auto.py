@@ -274,8 +274,12 @@ def estimate_costs(coo: COOMatrix, cfg: Config, plans: dict = None,
     # so the planner (and the measured trial shortlist) reflects reality.
     if cfg.dtype == "float64":
         for k in costs:
-            if k not in ("css", "slab", "slab2"):   # df64-native paths
+            if k not in ("css", "slab", "slab2", "xch"):  # df64-native paths
                 costs[k] *= 20.0
+        if "xch" in costs:
+            # xch-df64 (r5): compensated per-(plane,row) route adds replace
+            # the one-hot matmul — ~7x the f32 per-slot cost
+            costs["xch"] *= 7.0
     return costs
 
 

@@ -213,6 +213,11 @@ class Xch4State:
     long_rows: object = None  # (long_n,) int32 — original row ids
     dia_vals: object = None  # (len(dia_offs), n_row) dtype — peeled bands
     dia_offs: tuple = ()     # peeled high-fill diagonal offsets (static)
+    val1_lo: object = None   # df64 (dtype=float64): k × (H_c, 128) f32 lo
+    #                          plane; val1 holds the hi plane and spmv runs
+    #                          the compensated kernels (xch_mul_df /
+    #                          xch_route4_df)
+    dia_lo: object = None    # df64: lo plane of the peeled bands
 
 
 # ---------------------------------------------------------------- planning ---
@@ -1125,12 +1130,28 @@ def _convert_v4(coo: COOMatrix, cfg: Config, p: dict) -> Xch4State:
     max_rows1 = (160_000 // t1) * t1
     for r0 in range(0, h1, max_rows1):
         cz1.append((r0, min(r0 + max_rows1, h1)))
-    w1_t, la1_t, su1_t, va1_t = [], [], [], []
+    df64 = cfg.dtype == "float64"
+    w1_t, la1_t, su1_t, va1_t, vl1_t = [], [], [], [], []
     for r0, r1 in cz1:
         w1_t.append(device_put(l1["win1"][r0:r1]))
         la1_t.append(device_put(l1["lane1"][r0:r1]))
         su1_t.append(device_put(l1["sub1"][r0:r1]))
-        va1_t.append(device_put(l1["val1"][r0:r1]))
+        v = l1["val1"][r0:r1]
+        if df64:
+            vh = v.astype(np.float32)
+            vl1_t.append(device_put((v - vh.astype(np.float64)
+                                     ).astype(np.float32)))
+            va1_t.append(device_put(vh))
+        else:
+            va1_t.append(device_put(v))
+
+    dia_lo_dev = None
+    if df64 and dia_vals_dev is not None:
+        dv = np.asarray(dia_vals_dev, dtype=np.float64)
+        dh = dv.astype(np.float32)
+        dia_vals_dev = device_put(dh)
+        dia_lo_dev = device_put((dv - dh.astype(np.float64)
+                                 ).astype(np.float32))
 
     cb_tot = cdiv(max(coo.n_col, 1), LANES)
     return Xch4State(
@@ -1145,7 +1166,8 @@ def _convert_v4(coo: COOMatrix, cfg: Config, p: dict) -> Xch4State:
         win2=tuple(w_t), lane2=tuple(la_t), sub2=tuple(su_t),
         hm2=tuple(hm_t), sig2=tuple(sg_t), idx2=tuple(ix_t),
         vis_gids=device_put(u_gids.astype(np.int32)),
-        long=long_state, long_rows=long_rows_dev, dia_vals=dia_vals_dev)
+        long=long_state, long_rows=long_rows_dev, dia_vals=dia_vals_dev,
+        val1_lo=tuple(vl1_t) if df64 else None, dia_lo=dia_lo_dev)
 
 
 def _empty_state4(coo, cfg):
@@ -1453,14 +1475,109 @@ def spmv(state, x):
 
     from ..ops import pallas as pallas_pkg
 
+    if isinstance(state, Xch4State) and state.val1_lo is not None \
+            and x.dtype == jnp.float64:
+        return _spmv_v4_df(state, x)
     if not pallas_pkg.supports(x.dtype):
         raise TypeError("xch runs Pallas kernels: use float32/bfloat16 "
-                        "(csr/ss for the f64 XLA path)")
+                        "(csr/ss for the f64 XLA path; dtype=float64 "
+                        "converts run the compensated df64 kernels)")
     if isinstance(state, Xch4State):
         return _spmv_v4(state, x)
     if state.nnz == 0 or state.n_buckets == 0:
         return jnp.zeros((state.n_row,), x.dtype)
     return _route_phase(state, _mul_phase(state, x))
+
+
+def _spmv_v4_df(state: Xch4State, x):
+    """f64-semantics SpMV through the compensated (2×f32) v4 kernels.
+
+    x splits into (hi, lo) f32 planes; pass 1 runs Dekker products against
+    the stored (hi, lo) value planes, pass 2 reduces runs with the df
+    shift-tree and routes per (plane, row) with compensated adds (the f32
+    one-hot matmul would re-round every accumulation); y = hi + lo in f64.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.pallas.xch import xch_mul_df, xch_route4_df
+
+    n = state.n_row
+    total_blocks = cdiv(max(n, 1), LANES)
+    n_grp_tot = cdiv(total_blocks, state.gb)
+    y = jnp.zeros((n,), jnp.float64)
+    if state.n_slots1:
+        xh = x.astype(jnp.float32)
+        xl = (x - xh.astype(jnp.float64)).astype(jnp.float32)
+
+        def table(v):
+            t = jnp.zeros((state.cb_pad * LANES,), jnp.float32)
+            return t.at[: state.n_col].set(v).reshape(state.cb_pad, LANES)
+
+        xh_t, xl_t = table(xh), table(xl)
+        ph_l, pl_l = [], []
+        for w, la, su, vh, vl in zip(state.win1, state.lane1, state.sub1,
+                                     state.val1, state.val1_lo):
+            ph, pl_ = xch_mul_df(w, la, su, vh, vl, xh_t, xl_t, state.m1,
+                                 state.t1)
+            ph_l.append(ph)
+            pl_l.append(pl_)
+        ph = ph_l[0] if len(ph_l) == 1 else jnp.concatenate(ph_l, axis=0)
+        pl_ = pl_l[0] if len(pl_l) == 1 else jnp.concatenate(pl_l, axis=0)
+        ph3 = ph.reshape(state.n_chunks, state.p1, LANES)
+        pl3 = pl_.reshape(state.n_chunks, state.p1, LANES)
+
+        oh_l, ol_l = [], []
+        for g, o, c, w, la, su, h2, sg, ix, ng in zip(
+                state.gids2, state.off2, state.cs2, state.win2,
+                state.lane2, state.sub2, state.hm2, state.sig2,
+                state.idx2, state.chunk_ngrp):
+            oh, ol = xch_route4_df(g, o, c, w, la, su, h2, sg, ix, ph3,
+                                   pl3, ng, state.gb, state.m2, state.t2,
+                                   state.p_oh)
+            oh_l.append(oh)
+            ol_l.append(ol)
+        outh = oh_l[0] if len(oh_l) == 1 else jnp.concatenate(oh_l, axis=0)
+        outl = ol_l[0] if len(ol_l) == 1 else jnp.concatenate(ol_l, axis=0)
+        n_vis = outh.shape[0] // state.gb
+        o64 = (outh.astype(jnp.float64)
+               + outl.astype(jnp.float64)).reshape(n_vis,
+                                                   state.gb * LANES)
+        yg = jnp.zeros((n_grp_tot, state.gb * LANES), jnp.float64)
+        yg = yg.at[state.vis_gids].set(o64, mode="drop",
+                                       unique_indices=True)
+        y = yg.reshape(-1)[:n]
+    if state.long is not None:
+        y_long = _spmv_v4_df(state.long, x)
+        y = y.at[state.long_rows].add(y_long, mode="drop",
+                                      unique_indices=True)
+    if state.dia_vals is not None:
+        y = y + _dia_part_df(state, x)
+    return y
+
+
+def _dia_part_df(state: Xch4State, x):
+    """df64 peeled bands: (hi, lo) value planes × (hi, lo) x slices with
+    Dekker products and compensated accumulation, combined in f64 once."""
+    import jax.numpy as jnp
+
+    from ..ops import df64 as df
+
+    n = state.n_row
+    offs = state.dia_offs
+    mmax = max(max(abs(o) for o in offs), 1)
+    L = max(n, state.n_col) + 2 * mmax
+    xh = x.astype(jnp.float32)
+    xl = (x - xh.astype(jnp.float64)).astype(jnp.float32)
+    xph = jnp.zeros((L,), jnp.float32).at[mmax: mmax + state.n_col].set(xh)
+    xpl = jnp.zeros((L,), jnp.float32).at[mmax: mmax + state.n_col].set(xl)
+    ah = jnp.zeros((n,), jnp.float32)
+    al = jnp.zeros((n,), jnp.float32)
+    for k, d in enumerate(offs):
+        vh, vl = df.df_mul(state.dia_vals[k], state.dia_lo[k],
+                           xph[mmax + d: mmax + d + n],
+                           xpl[mmax + d: mmax + d + n])
+        ah, al = df.df_add_sloppy(ah, al, vh, vl)
+    return ah.astype(jnp.float64) + al.astype(jnp.float64)
 
 
 def _mul_phase4(state: Xch4State, x):
@@ -1631,6 +1748,8 @@ def _to_coo_v4(state: Xch4State) -> COOMatrix:
     parts = []
     if state.dia_vals is not None:
         dv = np.asarray(state.dia_vals).astype(np.float64)
+        if state.dia_lo is not None:
+            dv = dv + np.asarray(state.dia_lo).astype(np.float64)
         for k, d in enumerate(state.dia_offs):
             rr = np.flatnonzero(dv[k] != 0)
             parts.append((rr.astype(np.int64), rr + d, dv[k][rr]))
@@ -1642,6 +1761,8 @@ def _to_coo_v4(state: Xch4State) -> COOMatrix:
         lane1 = cat(state.lane1).astype(np.int64)
         sub1 = cat(state.sub1).astype(np.int64)
         val1 = cat(state.val1).astype(np.float64)
+        if state.val1_lo is not None:
+            val1 = val1 + cat(state.val1_lo).astype(np.float64)
         win1 = cat(state.win1).astype(np.int64)
         cols_grid = (win1[:, None] + sub1) * LANES + lane1
 
@@ -1768,6 +1889,8 @@ def attainable_seconds(state, cfg: Config) -> float:
         sec += (state.n_slots2 * _r4_route_slot_s(state.m2, state.kblk,
                                                   state.p_oh)
                 + state.n_slots2 / LANES / max(state.t2, 1) * R4_FIXED_S)
+    if state.val1_lo is not None:
+        sec *= 7.0                          # df64 compensated kernels
     if state.dia_vals is not None:
         sec += len(state.dia_offs) * state.n_row * 8.0 / HBM_BPS
     if state.long is not None:

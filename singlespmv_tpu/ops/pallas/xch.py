@@ -456,3 +456,176 @@ def xch_route4_panel(gids, off, cs, win, lane, sub, hm1, sig, idx, prod3,
             B * gb * LANES * prod3.dtype.itemsize * 2),
         interpret=_use_interpret(),
     )(gids, off, cs, win, lane, sub, hm1, sig, idx, prod3)
+
+
+# ------------------------------------------------------------ df64 (f64) ---
+
+def _xch_mul_df_kernel(win_ref, lane_ref, sub_ref, valh_ref, vall_ref,
+                       xh_ref, xl_ref, outh_ref, outl_ref, *, m: int):
+    """df64 pass-1: gather (hi, lo) x pairs through the window, Dekker
+    product with (hi, lo) values — slab's df machinery on the exchange's
+    fill-perfect stream (ops/pallas/slab.py:_slab_df_kernel)."""
+    from ...ops import df64 as df
+
+    t = pl.program_id(0)
+    T = lane_ref.shape[0]
+    winsh = [xh_ref[pl.ds(win_ref[t * T + r], m), :] for r in range(T)]
+    winsl = [xl_ref[pl.ds(win_ref[t * T + r], m), :] for r in range(T)]
+    wsh = jnp.concatenate(winsh, axis=0) if T > 1 else winsh[0]
+    wsl = jnp.concatenate(winsl, axis=0) if T > 1 else winsl[0]
+    lane = lane_ref[:].astype(jnp.int32)
+    if m == 1:
+        gh = jnp.take_along_axis(wsh, lane, axis=1)
+        gl = jnp.take_along_axis(wsl, lane, axis=1)
+    else:
+        lane_m = jnp.broadcast_to(lane[:, None, :], (T, m, LANES)
+                                  ).reshape(T * m, LANES)
+        tkh = jnp.take_along_axis(wsh, lane_m, axis=1).reshape(T, m, LANES)
+        tkl = jnp.take_along_axis(wsl, lane_m, axis=1).reshape(T, m, LANES)
+        sub = sub_ref[:].astype(jnp.int32)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (T, m, LANES), 1)
+        sel = srow == sub[:, None, :]
+        gh = jnp.sum(jnp.where(sel, tkh, 0.0), axis=1)
+        gl = jnp.sum(jnp.where(sel, tkl, 0.0), axis=1)
+    ph, pl_ = df.df_mul(valh_ref[:], vall_ref[:], gh, gl)
+    outh_ref[:] = ph
+    outl_ref[:] = pl_
+
+
+def xch_mul_df(win, lane, sub, val_hi, val_lo, xh_table, xl_table, m: int,
+               T: int = 64):
+    h = lane.shape[0]
+    n_steps = h // T
+    spec8 = lambda: pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
+                                 memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((h, LANES), jnp.float32)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_xch_mul_df_kernel, m=m),
+            out_shape=(shape, shape),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_steps,),
+                in_specs=[
+                    spec8(), spec8(), spec8(), spec8(),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=(pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
+                                        memory_space=pltpu.VMEM),
+                           pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
+                                        memory_space=pltpu.VMEM)),
+            ),
+            compiler_params=_vmem_params(xh_table, T * LANES * 20, 0),
+            interpret=_use_interpret(),
+        )(win, lane, sub, val_hi, val_lo, xh_table, xl_table)
+
+
+def _xch_route4_df_kernel(gids_ref, off_ref, cs_ref, win_ref, lane_ref,
+                          sub_ref, hm_ref, sig_ref, idx_ref, prodh_ref,
+                          prodl_ref, outh_ref, outl_ref, *, m: int,
+                          kblk: int, p_oh: int):
+    """df64 v4 route: the f32 kernel's one-hot MXU matmul would re-round
+    every accumulation (f32 matmul accumulate ≈ 2⁻²⁴ per add — 13 orders
+    above the df64 target), so the route runs per (idx plane, out row) as
+    masked compensated log-trees over the step axis (slab's df
+    _plane_block pattern).  ~6-8× the f32 route per slot — the same class
+    of df64 penalty slab-df64 pays."""
+    from ...ops import df64 as df
+    from .slab import _df_prefix_runs
+
+    t = pl.program_id(0)
+
+    first = jnp.logical_or(
+        t == 0, gids_ref[jnp.maximum(t, 1)] != gids_ref[jnp.maximum(t, 1) - 1])
+
+    @pl.when(first)
+    def _():
+        outh_ref[:] = jnp.zeros_like(outh_ref)
+        outl_ref[:] = jnp.zeros_like(outl_ref)
+
+    T = lane_ref.shape[0]
+    winsh = [prodh_ref[0, pl.ds(win_ref[t * T + r], m), :] for r in range(T)]
+    winsl = [prodl_ref[0, pl.ds(win_ref[t * T + r], m), :] for r in range(T)]
+    wsh = jnp.concatenate(winsh, axis=0) if T > 1 else winsh[0]
+    wsl = jnp.concatenate(winsl, axis=0) if T > 1 else winsl[0]
+    lane = lane_ref[:].astype(jnp.int32)
+    if m == 1:
+        gh = jnp.take_along_axis(wsh, lane, axis=1)
+        gl = jnp.take_along_axis(wsl, lane, axis=1)
+    else:
+        lane_m = jnp.broadcast_to(lane[:, None, :], (T, m, LANES)
+                                  ).reshape(T * m, LANES)
+        tkh = jnp.take_along_axis(wsh, lane_m, axis=1).reshape(T, m, LANES)
+        tkl = jnp.take_along_axis(wsl, lane_m, axis=1).reshape(T, m, LANES)
+        sub = sub_ref[:].astype(jnp.int32)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (T, m, LANES), 1)
+        sel = srow == sub[:, None, :]
+        gh = jnp.sum(jnp.where(sel, tkh, 0.0), axis=1)
+        gl = jnp.sum(jnp.where(sel, tkl, 0.0), axis=1)
+
+    wh, wl = _df_prefix_runs(gh, gl, hm_ref[:])
+
+    sig = sig_ref[:, :1].astype(jnp.int32)                    # (T, 1)
+    for j in range(kblk):
+        e = idx_ref[j].astype(jnp.int32)
+        valid = e >= 0
+        pick_h = jnp.take_along_axis(wh, jnp.where(valid, e, 0), axis=1)
+        pick_l = jnp.take_along_axis(wl, jnp.where(valid, e, 0), axis=1)
+        for p in range(p_oh):
+            sel_p = jnp.logical_and(valid, sig + j == p)
+            ah = jnp.where(sel_p, pick_h, 0.0)
+            al = jnp.where(sel_p, pick_l, 0.0)
+            d = 1
+            while d < ah.shape[0]:
+                zh = jnp.concatenate([ah[d:], jnp.zeros_like(ah[:d])],
+                                     axis=0)
+                zl = jnp.concatenate([al[d:], jnp.zeros_like(al[:d])],
+                                     axis=0)
+                ah, al = df.df_add_sloppy(ah, al, zh, zl)
+                d *= 2
+            oh = outh_ref[pl.ds(off_ref[t] + p, 1), :]
+            ol = outl_ref[pl.ds(off_ref[t] + p, 1), :]
+            nh, nl = df.df_add_sloppy(oh, ol, ah[:1], al[:1])
+            outh_ref[pl.ds(off_ref[t] + p, 1), :] = nh
+            outl_ref[pl.ds(off_ref[t] + p, 1), :] = nl
+
+
+def xch_route4_df(gids, off, cs, win, lane, sub, hm1, sig, idx, prodh3,
+                  prodl3, n_grp: int, gb: int, m: int, T: int = 64,
+                  p_oh: int = 16):
+    h = lane.shape[0]
+    n_steps = h // T
+    p1 = prodh3.shape[1]
+    kblk = idx.shape[0]
+    spec8 = lambda: pl.BlockSpec((T, LANES), lambda t, *_: (t, 0),
+                                 memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((n_grp * gb, LANES), jnp.float32)
+    ospec = lambda: pl.BlockSpec((gb, LANES), lambda t, g, o, c, w: (g[t], 0),
+                                 memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_xch_route4_df_kernel, m=m, kblk=kblk,
+                              p_oh=p_oh),
+            out_shape=(shape, shape),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(n_steps,),
+                in_specs=[
+                    spec8(), spec8(), spec8(), spec8(),
+                    pl.BlockSpec((kblk, T, LANES), lambda t, *_: (0, t, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, p1, LANES),
+                                 lambda t, g, o, c, w: (c[t], 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, p1, LANES),
+                                 lambda t, g, o, c, w: (c[t], 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(ospec(), ospec()),
+            ),
+            compiler_params=_vmem_params_bytes(
+                4 * p1 * LANES * 4, T * LANES * (4 + kblk),
+                gb * LANES * 16),
+            interpret=_use_interpret(),
+        )(gids, off, cs, win, lane, sub, hm1, sig, idx, prodh3, prodl3)

@@ -231,3 +231,29 @@ def test_xch_estimate_positive_on_dense_row_matrices():
                                   sum_duplicates=True)
     est = xch_mod.estimate_v4(coo, Config(format="xch", dtype="float32"))
     assert est["feasible"] and est["est_s"] > 0, est
+
+
+def test_xch_df64_full_semantics():
+    """dtype=float64 runs the compensated (2×f32) v4 kernels — verify at
+    df64 precision (~1e-13 rel), not the f32 bar, across peel/long/plain
+    paths."""
+    from singlespmv_tpu.data.generators import generate, powerlaw
+
+    F64 = Config(format="xch", dtype="float64")
+    for coo in (powerlaw(4096, 40000, seed=2),
+                generate("band", 2048, 9, seed=1)):
+        st = xch_mod.convert(coo, F64)
+        assert st.val1_lo is not None or st.n_slots1 == 0
+        x = np.random.default_rng(3).uniform(-1, 1, coo.n_col)
+        y = np.asarray(jax.jit(xch_mod.spmv)(st, jax.numpy.asarray(x)))
+        assert y.dtype == np.float64
+        yref = np.zeros(coo.n_row)
+        np.add.at(yref, coo.row, coo.val * x[coo.col])
+        rel = np.abs(y - yref).max() / max(np.abs(yref).max(), 1e-300)
+        assert rel < 1e-11, rel
+        # roundtrip keeps full f64 values (hi + lo reassembled)
+        rt = xch_mod.to_coo(st)
+        assert rt.nnz == coo.nnz
+        np.testing.assert_array_equal(rt.row, coo.row)
+        np.testing.assert_array_equal(rt.col, coo.col)
+        np.testing.assert_allclose(rt.val, coo.val, rtol=1e-13)
