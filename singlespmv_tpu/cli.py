@@ -15,6 +15,7 @@ src/main.cpp:17). Here one runtime CLI covers the whole configuration space:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from .config import Config
@@ -203,6 +204,15 @@ def _cmd_calibrate():
 
 
 def main(argv=None) -> int:
+    # Honor JAX_PLATFORMS explicitly: the axon site shim force-registers the
+    # TPU plugin for every interpreter and the env var alone is overridden
+    # (verify-skill gotcha) — a caller exporting JAX_PLATFORMS=cpu (tests,
+    # CI) must actually get the CPU backend, not a surprise TPU session.
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "axon" not in plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     ap = argparse.ArgumentParser(prog="singlespmv_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
