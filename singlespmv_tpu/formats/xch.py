@@ -938,14 +938,558 @@ def _convert_v4(coo: COOMatrix, cfg: Config, p: dict) -> Xch4State:
     gb0 = int(p.get("gb", X4_GB))
     t2_cands = (32, 64, 128, 256) if not p.get("t2_fix") else (p["t2_fix"],)
 
-    def _plan_at(kblk):
+    # plan-time slot sample: sorting the full stream per kblk candidate is
+    # the convert's sort bill at giant scale; an src-RUN sample (contiguous
+    # 8192-slot windows, 1/8 kept) preserves intra-group spacing so walks
+    # measure true spans, and only the WINNING plan sorts in full
+    plan_mask = None
+    if nnz > SAMPLE_WALK_NNZ and not (p.get("kblk_fix") and p.get("m2_fix")
+                                      and p.get("t2_fix")):
+        plan_mask = (src >> 13) % 8 == 0
+
+    def _sort_groups(kblk, sampled):
         bs = 7 + int(np.log2(kblk))
         gb = max(gb0 - gb0 % kblk, kblk)
-        band = rows1 >> bs
+        if sampled and plan_mask is not None:
+            src_p = src[plan_mask]
+            rows_p = rows1[plan_mask]
+            chunk_p = chunk1[plan_mask]
+        else:
+            sampled = False
+            src_p, rows_p, chunk_p = src, rows1, chunk1
+        band = rows_p >> bs
         n_band = int(band.max(initial=0)) + 2
-        grp_key = chunk1 * np.int64(n_band) + band
-        o2 = hm.argsort_keys(grp_key * np.int64(h1 * LANES + 1) + src)
-        src_s = src[o2]
+        grp_key = chunk_p * np.int64(n_band) + band
+        o2 = hm.argsort_keys(grp_key * np.int64(h1 * LANES + 1) + src_p)
+        src_s = src_p[o2]
+        gk_s = grp_key[o2]
+        gbnd = np.flatnonzero(np.concatenate([[True],
+                                              gk_s[1:] != gk_s[:-1]]))
+        grp_starts = np.append(gbnd, len(src_s))
+        grp_chunk = (gk_s[gbnd] // n_band).astype(np.int64)
+        grp_band_blk = ((gk_s[gbnd] % n_band) << (bs - 7)).astype(np.int64)
+        return dict(kblk=kblk, gb=gb, o2=o2, src_s=src_s,
+                    grp_starts=grp_starts, grp_chunk=grp_chunk,
+                    grp_band_blk=grp_band_blk, sampled=sampled,
+                    frac=nnz / max(len(src_p), 1))
+
+    def _plan_at(kblk, sampled=False):
+        sg = _sort_groups(kblk, sampled)
+        src_s, grp_starts = sg["src_s"], sg["grp_starts"]
+        grp_chunk, grp_band_blk = sg["grp_chunk"], sg["grp_band_blk"]
+        gb = sg["gb"]
+
+        if p.get("p_oh_fix"):
+            poh_of = lambda t_c: (int(p["p_oh_fix"]),)
+        else:
+            def poh_of(t_c):
+                fit = _align8(int(np.clip(t_c / deg_r + kblk, 8, 64)))
+                return tuple(sorted({fit, min(fit + 16, 64), 16}))
+
+        if p.get("m2_fix"):
+            m_cands = [_align8(p["m2_fix"], M2_CAP)]
+        else:
+            m_cands = _span_quantiles(src_s, grp_starts[1:-1])
+            m_cands = sorted(set(_align8(min(max(m, 1), M2_CAP, p1))
+                                 for m in m_cands))
+        stride = 8 if (len(src_s) > SAMPLE_WALK_NNZ and
+                       (len(m_cands) > 1 or len(t2_cands) > 1)) else 1
+        src_e, grp_starts_e, gsel = _sample_group_runs(src_s, grp_starts,
+                                                       stride)
+        chunk_e = grp_chunk[gsel]
+        band_e = grp_band_blk[gsel]
+        n_grp_all = len(grp_starts) - 1
+        if len(gsel) == n_grp_all:
+            stride = 1
+        scale = n_grp_all / max(len(gsel), 1) * sg["frac"]
+        best = None
+        for m_c in m_cands:
+            wk = _walk(src_e, grp_starts_e, m_c)
+            for t_c in t2_cands:
+                for poh_c in poh_of(t_c):
+                    if poh_c < kblk or poh_c > gb:
+                        continue
+                    pads_e, _, _, _ = _assemble_steps(
+                        chunk_e, band_e, wk[2], t_c, kblk, poh_c, gb)
+                    h_c = int((wk[2].sum() + pads_e.sum()) * scale)
+                    sec = ((h_c / t_c) * R4_FIXED_S
+                           + h_c * LANES * _r4_route_slot_s(m_c, kblk,
+                                                            poh_c))
+                    if best is None or sec < best[0]:
+                        best = (sec, m_c, t_c, poh_c, wk, stride)
+        sec, m2, t2, p_oh, wk, stride = best
+        return dict(sec=sec, m2=m2, t2=t2, p_oh=p_oh, wk=wk, stride=stride,
+                    scale=scale, sg=sg, kblk=kblk, gb=gb)
+
+    kblk0 = int(p.get("kblk", 8))
+    pl = _plan_at(kblk0, sampled=True)
+    if not p.get("kblk_fix"):
+        h0 = int(pl["wk"][2].sum() * pl["scale"])
+        pred = []
+        for k2 in sorted({max(kblk0 // 2, 1), kblk0 * 2,
+                          min(kblk0 * 4, 32)} - {kblk0}):
+            m2p = _align8(max(round(pl["m2"] * kblk0 / k2), 1), M2_CAP)
+            secp = ((h0 / pl["t2"]) * R4_FIXED_S
+                    + h0 * LANES * _r4_route_slot_s(m2p, k2, pl["p_oh"]))
+            pred.append((secp, k2))
+        pred.sort()
+        if pred and pred[0][0] < 0.9 * pl["sec"]:
+            pl2 = _plan_at(pred[0][1], sampled=True)
+            if pl2["sec"] < pl["sec"]:
+                pl = pl2
+
+    kblk, m2, t2, p_oh = pl["kblk"], pl["m2"], pl["t2"], pl["p_oh"]
+    if pl["sg"]["sampled"]:
+        sg = _sort_groups(kblk, sampled=False)
+        wk = _walk(sg["src_s"], sg["grp_starts"], m2)
+    else:
+        sg = pl["sg"]
+        wk = pl["wk"]
+        if pl["stride"] > 1:
+            wk = _walk(sg["src_s"], sg["grp_starts"], m2)
+    gb = sg["gb"]
+    o2, src_s = sg["o2"], sg["src_s"]
+    grp_starts, grp_chunk, grp_band_blk = (sg["grp_starts"],
+                                           sg["grp_chunk"],
+                                           sg["grp_band_blk"])
+    rows_s = rows1[o2]
+    sizes2, bases2, grows2 = wk
+
+    grows_pad = _pad_span(grows2, t2, span, grp_chunk0, bidx0)
+    h2 = int(grows_pad.sum())
+    gstart = np.concatenate([[0], np.cumsum(grows_pad)[:-1]])
+    wstart2 = np.concatenate([[0], np.cumsum(grows2)[:-1]])
+    gidx = np.repeat(hm.arange(len(grows2)), grows2)
+    final2 = gstart[gidx] + (hm.arange(len(sizes2)) - wstart2[gidx])
+
+    grp_bucket = grp_bucket0                      # per walk GROUP
+    grp_chunk = grp_chunk0
+
+    # chunk-local window base, clamped so [win, win+m2) stays in the block
+    base_loc = bases2 - grp_chunk[gidx] * p1
+    base_loc = np.minimum(np.maximum(base_loc, 0), p1 - m2)
+    win2 = hm.zeros(h2, np.int32)
+    win2[final2] = base_loc.astype(np.int32)
+    # padded rows inherit their group's chunk (any valid base: 0)
+
+    # per-slot stream row, then re-sort slots by (stream row, y row, src) so
+    # each y row is one contiguous run per stream row
+    sr2_0 = final2[np.repeat(hm.arange(len(sizes2)), sizes2)]
+    o3 = hm.argsort_keys(sr2_0 * np.int64(coo.n_row + 1) + rows_s)
+    src_f, rows_f, sr2 = src_s[o3], rows_s[o3], sr2_0[o3]
+    new_row = np.concatenate([[True], sr2[1:] != sr2[:-1]])
+    rstart = np.flatnonzero(new_row)
+    li2 = hm.arange(nnz) - rstart[np.cumsum(new_row) - 1]
+
+    lane2 = hm.zeros((h2, LANES), np.int8)
+    sub2 = hm.zeros((h2, LANES), np.int8)
+    hm2 = hm.zeros((h2, LANES), np.int8)
+    src_row = src_f >> 7
+    chunk_f = src_row // np.int64(p1)
+    lane2[sr2, li2] = (src_f & (LANES - 1)).astype(np.int8)
+    sub2[sr2, li2] = (src_row - chunk_f * p1 - win2[sr2]).astype(np.int8)
+
+    new_run = hm.zeros(nnz, np.bool_)
+    new_run[0] = True
+    new_run[1:] = (rows_f[1:] != rows_f[:-1]) | (sr2[1:] != sr2[:-1])
+    qpos = sr2 * LANES + li2
+    head_q = np.maximum.accumulate(np.where(new_run, qpos, -1))
+    hm2[sr2, li2] = (head_q - sr2 * LANES - 1).astype(np.int8)
+
+    end = hm.zeros(nnz, np.bool_)
+    end[:-1] = new_run[1:]
+    end[-1] = True
+    r_run, sr_run, e_lane = rows_f[end], sr2[end], li2[end]
+
+    # per-step first group / compact bucket / bucket G-group
+    n_steps = h2 // t2
+    grp_of_frow = np.repeat(hm.arange(len(grows_pad)),
+                            grows_pad.astype(np.int64))
+    g_step = grp_of_frow[::t2]
+    ub = ub0
+    n_buckets = len(ub)
+    uids = bidx0[g_step].astype(np.int32)         # compact, non-decreasing
+    gids = uids // G_GRP                          # out-block G-group
+    chunk_step = grp_chunk[g_step].astype(np.int32)
+
+    # σ: span-local — off = run's compact bucket − step's first bucket
+    grp_run = grp_of_frow[sr_run]                 # group per run end
+    off_run = bidx0[grp_run] - uids[sr_run // t2].astype(np.int64)
+    assert off_run.min(initial=0) >= 0 and \
+        off_run.max(initial=0) < span, \
+        "xch: a grid step spans more buckets than the out block covers"
+    sigma = ((r_run & np.int64(scope - 1)) >> 7) + planes * off_run
+    l_run = r_run & np.int64(LANES - 1)
+    idx2 = hm.full((span * planes, h2, LANES), -1, np.int8)
+    idx2[sigma, sr_run, l_run] = e_lane.astype(np.int8)
+
+    # per-step active σ range (kernel plane-group pruning); run ends are
+    # stream-row-sorted so reduceat segments are contiguous
+    sg0 = hm.zeros(n_steps, np.int32)
+    sg1 = hm.full(n_steps, -1, np.int32)
+    if len(sr_run):
+        s_of = (sr_run // t2).astype(np.int64)
+        bnd = np.flatnonzero(np.concatenate([[True], s_of[1:] != s_of[:-1]]))
+        sg0[s_of[bnd]] = np.minimum.reduceat(sigma, bnd).astype(np.int32)
+        sg1[s_of[bnd]] = np.maximum.reduceat(sigma, bnd).astype(np.int32)
+
+    # ---- split pass-2 into SMEM-prefetch-sized pallas_calls ----
+    ngb_tot = int(gids[-1]) + 1 if n_steps else 0
+    cz = _chunk_steps(gids, n_steps, ngb_tot,
+                      max_steps=max(CHUNK_ROWS // t2, 1))
+    u_t, g_t, c_t, w_t, la_t, su_t, hm_t, ix_t, s0_t, s1_t = \
+        [], [], [], [], [], [], [], [], [], []
+    for s0, s1, g0, _ngb in cz:
+        r0, r1 = s0 * t2, s1 * t2
+        u_t.append(device_put((uids[s0:s1] - g0 * G_GRP).astype(np.int32)))
+        g_t.append(device_put((gids[s0:s1] - g0).astype(np.int32)))
+        c_t.append(device_put(chunk_step[s0:s1]))
+        w_t.append(device_put(win2[r0:r1]))
+        la_t.append(device_put(lane2[r0:r1]))
+        su_t.append(device_put(sub2[r0:r1]))
+        hm_t.append(device_put(hm2[r0:r1]))
+        ix_t.append(device_put(idx2[:, r0:r1]))
+        s0_t.append(device_put(sg0[s0:s1]))
+        s1_t.append(device_put(sg1[s0:s1]))
+
+    # ---- split pass-1 likewise (win1 prefetch = 4 B/stream row ≤ 1 MB) ----
+    cz1 = []
+    max_rows1 = (160_000 // t1) * t1            # plain range split
+    for r0 in range(0, h1, max_rows1):
+        cz1.append((r0, min(r0 + max_rows1, h1)))
+    w1_t, la1_t, su1_t, va1_t = [], [], [], []
+    for r0, r1 in cz1:
+        w1_t.append(device_put(win1[r0:r1]))
+        la1_t.append(device_put(lane1[r0:r1]))
+        su1_t.append(device_put(sub1[r0:r1]))
+        va1_t.append(device_put(val1[r0:r1]))
+
+    cb_tot = cdiv(max(coo.n_col, 1), LANES)
+    return XchState(
+        n_row=coo.n_row, n_col=coo.n_col, nnz=nnz, m1=m1, m2=m2, t1=t1,
+        t2=t2, planes=planes, span=span, n_chunks=n_chunks, p1=p1,
+        cb_pad=cb_tot + m1, n_buckets=n_buckets,
+        n_slots1=h1 * LANES, n_slots2=h2 * LANES,
+        chunk_nb=tuple(c[3] for c in cz),
+        win1=tuple(w1_t), lane1=tuple(la1_t), sub1=tuple(su1_t),
+        val1=tuple(va1_t),
+        uids2=tuple(u_t), cs2=tuple(c_t), win2=tuple(w_t),
+        lane2=tuple(la_t), sub2=tuple(su_t), hm2=tuple(hm_t),
+        idx2=tuple(ix_t), bucket_ids=device_put(ub.astype(np.int32)),
+        gids2=tuple(g_t),
+        sg0_2=tuple(s0_t), sg1_2=tuple(s1_t))
+
+
+# ------------------------------------------------------------- v4 convert ---
+
+# v4 route-kernel rates, fitted on the r5 chip marginal probe
+# (scripts/probe_xch_v4.py + the clean grid at T=128/kblk=4/p_oh=16:
+#  m 1→0.0656, 8→0.0965, 16→0.1274 ns/slot → 0.0044/member;
+#  kblk 1→0.0766, 4→0.0971, 16→0.1667 → 0.006/plane;
+#  T 32→0.1978, 128→0.0964, 256→0.0822 → 0.27 µs/step fixed;
+#  p_oh 8→0.0924, 48→0.1003 → 0.0002/row):
+R4_BASE_S = 0.022e-9        # run totals + write + window entry + streams
+R4_SEL_S = 0.0044e-9        # per window member (select + pick share)
+R4_KBLK_S = 0.006e-9        # per idx plane (pick + one-hot matmul + stream)
+R4_POH_S = 0.0002e-9        # per one-hot output row
+R4_FIXED_S = 0.27e-6        # per grid step
+X4_GB = 1024                # out-group blocks (512 KB f32 out block)
+LONG_DEG = 96               # long-row split threshold (deg ≥ this)
+LONG_MIN_SHARE = 0.06       # split only when long rows hold ≥ this nnz share
+PEEL_FILL = 0.08            # peel a diagonal offset at ≥ this fill
+PEEL_MIN_SHARE = 0.04       # peel only when the band holds ≥ this nnz share
+PEEL_MAX_OFFS = 32          # diagonal planes cap (k·n_row values in HBM)
+
+
+def _r4_route_slot_s(m, kblk, p_oh):
+    return (R4_BASE_S + m * R4_SEL_S + kblk * R4_KBLK_S + p_oh * R4_POH_S
+            + 7.0 / HBM_BPS)
+
+
+def _r4_mul_slot_s(m):
+    return (BASE_SLOT_S + (SEL_ENTRY_S if m > 1 else 0.0) + m * SEL_SLOT_S
+            + 10.0 / HBM_BPS)
+
+
+def _peel_bands(rows0, cols0, n_row, n_col, nnz):
+    """High-fill diagonal offsets (the circuit-class structure lever):
+    a band at fill f costs 2·n_row streamed values to apply with static
+    slices but saves f·n_row exchange slots at ~0.2 ns each — profitable
+    from f ≈ 0.05.  Returns (offsets ascending, per-nnz mask) or (None,
+    None)."""
+    d = cols0 - rows0
+    dmin, dmax = int(d.min()), int(d.max())
+    if dmax - dmin > 4 * (n_row + n_col):
+        return None, None
+    cnt = np.bincount(d - dmin)
+    # fill relative to the offset's maximum possible length
+    lens = np.minimum(n_row + np.minimum(np.arange(dmin, dmax + 1), 0),
+                      n_col - np.maximum(np.arange(dmin, dmax + 1), 0))
+    lens = np.maximum(lens, 1)
+    fill = cnt / lens
+    cand = np.flatnonzero(fill >= PEEL_FILL)
+    if len(cand) == 0:
+        return None, None
+    if len(cand) > PEEL_MAX_OFFS:
+        cand = cand[np.argsort(cnt[cand])[::-1][:PEEL_MAX_OFFS]]
+        cand.sort()
+    if cnt[cand].sum() < PEEL_MIN_SHARE * nnz:
+        return None, None
+    keep = np.zeros(dmax - dmin + 1, np.bool_)
+    keep[cand] = True
+    return (cand + dmin).astype(np.int64), keep[d - dmin]
+
+
+def _split_long_rows(rows0, cols0, vals0, n_row, deg_thresh):
+    """Partition nnz by row degree; returns (mask_long, long_row_ids)."""
+    deg = np.bincount(rows0, minlength=n_row)
+    long_ids = np.flatnonzero(deg >= deg_thresh)
+    if len(long_ids) == 0:
+        return None, None
+    is_long = np.zeros(n_row, np.bool_)
+    is_long[long_ids] = True
+    return is_long[rows0], long_ids.astype(np.int64)
+
+
+def _pass1_layout(cols0_s, vals0_s, nnz, n_col, k_slots, p, dtype):
+    """(chunk, col)-sorted pass-1 layout.  Returns the per-nnz product
+    position ``src`` (in the (n_chunks, p1, 128) grid), the layout arrays,
+    and o1 (the sort order applied to the caller's arrays)."""
+    n_chunks = cdiv(nnz, k_slots)
+    g1 = hm.arange(nnz) // k_slots
+    o1 = hm.argsort_keys(g1 * np.int64(n_col) + cols0_s)
+    cols_s = cols0_s[o1]
+    chunk_starts = np.concatenate(
+        [np.searchsorted(g1[o1], np.arange(n_chunks)), [nnz]])
+
+    def _pad1(grows, t):
+        return len(grows) * int(cdiv(int(grows.max(initial=1)), t) * t)
+
+    m1, t1, sizes1, bases1, crows1 = _best_walk(
+        cols_s, chunk_starts, (64, 128) if not p.get("t1_fix") else
+        (p["t1_fix"],), MUL_FIXED_S, _r4_mul_slot_s, _pad1,
+        m_override=p.get("m1_fix"),
+        extra_cands=(round(n_col / k_slots) + 1,))
+
+    # p1-outlier refinement (r5): all chunks pad to the max chunk's stream
+    # rows, so one high-spread chunk inflates every chunk's product block
+    # (ASIC r4: pass-1 pad 1.59×).  Split chunks whose walk exceeds the
+    # 80th-percentile row count (proportionally by slots) and redo the one
+    # global sort + walk — host cost ~1 extra radix pass.
+    if len(crows1) >= 4 and not p.get("no_refine"):
+        tgt = int(np.quantile(crows1, 0.8) * 1.25) + 1
+        if int(crows1.max()) > tgt:
+            parts = np.maximum(cdiv_np(crows1, tgt), 1)
+            bounds = [0]
+            for c in range(n_chunks):
+                a, b = int(chunk_starts[c]), int(chunk_starts[c + 1])
+                for s in range(1, int(parts[c])):
+                    bounds.append(a + (b - a) * s // int(parts[c]))
+                bounds.append(b)
+            bounds = np.asarray(sorted(set(bounds)), np.int64)
+            n_chunks = len(bounds) - 1
+            g1 = np.repeat(hm.arange(n_chunks), np.diff(bounds))
+            o1 = hm.argsort_keys(g1 * np.int64(n_col) + cols0_s)
+            cols_s = cols0_s[o1]
+            chunk_starts = np.concatenate(
+                [np.searchsorted(g1[o1], np.arange(n_chunks)), [nnz]])
+            m1, t1, sizes1, bases1, crows1 = _best_walk(
+                cols_s, chunk_starts, (t1,), MUL_FIXED_S, _r4_mul_slot_s,
+                _pad1, m_override=m1)
+
+    p1 = int(cdiv(int(crows1.max(initial=1)), t1) * t1)
+    h1 = n_chunks * p1
+    wstart1 = np.concatenate([[0], np.cumsum(crows1)[:-1]])
+    cidx = np.repeat(hm.arange(n_chunks), crows1)
+    final1 = cidx * p1 + (hm.arange(len(sizes1)) - wstart1[cidx])
+
+    win1 = hm.zeros(h1, np.int32)
+    win1[final1] = bases1.astype(np.int32)
+    lane1 = hm.zeros((h1, LANES), np.int8)
+    sub1 = hm.zeros((h1, LANES), np.int8)
+    val1 = hm.zeros((h1, LANES), dtype)
+    sr1 = final1[np.repeat(hm.arange(len(sizes1)), sizes1)]
+    li1 = hm.arange(nnz) - np.repeat(wslot_starts(sizes1), sizes1)
+    lane1[sr1, li1] = (cols_s & (LANES - 1)).astype(np.int8)
+    sub1[sr1, li1] = ((cols_s >> 7) - win1[sr1]).astype(np.int8)
+    val1[sr1, li1] = vals0_s[o1]
+    src = sr1 * np.int64(LANES) + li1
+    chunk1 = g1[o1]
+    return dict(o1=o1, src=src, chunk1=chunk1, n_chunks=n_chunks, p1=p1,
+                h1=h1, m1=m1, t1=t1, win1=win1, lane1=lane1, sub1=sub1,
+                val1=val1)
+
+
+def _assemble_steps(grp_chunk, grp_band_blk, grows, t2, kblk, p_oh, gb):
+    """Assign walk groups' stream rows to t2-row grid steps.
+
+    Cuts (pad to the next step boundary) happen only at group transitions
+    where (a) the source chunk changes, (b) the group's band falls in a new
+    out group, or (c) the band's block no longer fits the step's p_oh
+    window.  Returns (pads_per_group, step base blocks, step gids, step
+    chunks) — the step arrays are emitted per assembled step."""
+    n_grp = len(grows)
+    pads = np.zeros(n_grp, np.int64)
+    base_l, gid_l, cs_l = [], [], []
+    cur = 0                    # rows in current (partial) step
+    s_base = s_gid = s_cs = -1
+
+    def _emit_steps(k):
+        for _ in range(k):
+            base_l.append(s_base)
+            gid_l.append(s_gid)
+            cs_l.append(s_cs)
+
+    for g in range(n_grp):
+        bb = int(grp_band_blk[g])
+        gid = bb // gb
+        cut = False
+        if cur % t2 != 0:
+            if grp_chunk[g] != s_cs or gid != s_gid or \
+                    bb + kblk - s_base > p_oh:
+                cut = True
+        if cut:
+            pads[g - 1] += t2 - (cur % t2)
+            cur += t2 - (cur % t2)
+            _emit_steps(1)
+            cur = 0
+        if cur == 0:
+            s_cs = int(grp_chunk[g])
+            s_gid = gid
+            s_base = min(bb, gid * gb + gb - p_oh)
+        r = int(grows[g])
+        # full steps closed inside this group keep its attributes; a step
+        # OPENED mid-group starts at this group's band
+        while cur + r >= t2:
+            take = t2 - cur
+            r -= take
+            cur = 0
+            _emit_steps(1)
+            if r > 0:
+                s_cs = int(grp_chunk[g])
+                s_gid = gid
+                s_base = min(bb, gid * gb + gb - p_oh)
+        cur += r
+    if cur % t2:
+        pads[-1] += t2 - (cur % t2)
+        _emit_steps(1)
+    elif cur:
+        _emit_steps(1)
+    return (pads, np.asarray(base_l, np.int64), np.asarray(gid_l, np.int64),
+            np.asarray(cs_l, np.int64))
+
+
+def _convert_v4(coo: COOMatrix, cfg: Config, p: dict) -> Xch4State:
+    dtype = cfg.np_dtype
+    if coo.nnz == 0 or coo.n_row == 0:
+        return _empty_state4(coo, cfg)
+    nnz_all = coo.nnz
+    rows0 = hm.astype(coo.row, np.int64)
+    cols0 = hm.astype(coo.col, np.int64)
+    vals0 = hm.astype(coo.val, dtype)
+
+    # ---- band peel (high-fill diagonals → static-slice streams) ----
+    dia_offs: tuple = ()
+    dia_vals_dev = None
+    if not p.get("no_peel"):
+        offs, mask_d = _peel_bands(rows0, cols0, coo.n_row, coo.n_col,
+                                   nnz_all)
+        if offs is not None:
+            nr = max(coo.n_row, 1)
+            oidx = np.searchsorted(offs, (cols0 - rows0)[mask_d])
+            # weighted bincount: duplicate triplets must SUM (the COO
+            # contract), not overwrite
+            planes = np.bincount(
+                oidx * np.int64(nr) + rows0[mask_d],
+                weights=vals0[mask_d].astype(np.float64),
+                minlength=len(offs) * nr).reshape(len(offs), nr)
+            planes = planes.astype(dtype)
+            dia_offs = tuple(int(o) for o in offs)
+            dia_vals_dev = device_put(planes)
+            keep = ~mask_d
+            rows0, cols0, vals0 = rows0[keep], cols0[keep], vals0[keep]
+            if len(rows0) == 0:
+                st = _empty_state4(coo, cfg)
+                return dataclasses.replace(st, nnz=nnz_all,
+                                           dia_offs=dia_offs,
+                                           dia_vals=dia_vals_dev)
+
+    # ---- long-row split (structure fast-track) ----
+    long_state = long_rows_dev = None
+    long_n = 0
+    if not p.get("no_long"):
+        deg_t = p.get("long_deg", LONG_DEG)
+        mask, long_ids = _split_long_rows(rows0, cols0, vals0, coo.n_row,
+                                          deg_t)
+        if mask is not None and \
+                mask.sum() >= LONG_MIN_SHARE * nnz_all and len(long_ids):
+            long_n = len(long_ids)
+            remap = np.full(coo.n_row, -1, np.int64)
+            remap[long_ids] = np.arange(long_n)
+            sub = COOMatrix(n_row=long_n, n_col=coo.n_col,
+                            row=remap[rows0[mask]], col=cols0[mask],
+                            val=vals0[mask])
+            sp = dict(p)
+            sp["no_long"] = True
+            for k in ("k_slots", "m1_fix", "m2_fix", "bs_fix", "t1_fix",
+                      "t2_fix"):
+                sp.pop(k, None)
+            sp.update(estimate_v4(sub, cfg, no_long=True))
+            long_state = _convert_v4(sub, cfg, sp)
+            long_rows_dev = device_put(long_ids.astype(np.int32))
+            keep = ~mask
+            rows0, cols0, vals0 = rows0[keep], cols0[keep], vals0[keep]
+            if len(rows0) == 0:
+                st = _empty_state4(coo, cfg)
+                return dataclasses.replace(
+                    st, nnz=nnz_all, long_n=long_n, long=long_state,
+                    long_rows=long_rows_dev, dia_offs=dia_offs,
+                    dia_vals=dia_vals_dev)
+    nnz = len(rows0)
+
+    # ---- pass 1 ----
+    k_slots = int(min(p.get("k_slots", nnz), max(nnz, 1)))
+    l1 = _pass1_layout(cols0, vals0, nnz, coo.n_col, k_slots, p, dtype)
+    n_chunks, p1, h1, m1, t1 = (l1["n_chunks"], l1["p1"], l1["h1"],
+                                l1["m1"], l1["t1"])
+    src, chunk1 = l1["src"], l1["chunk1"]
+    rows1 = rows0[l1["o1"]]
+
+    # ---- pass 2: (chunk, band, src) sort + joint plan search ----
+    # t2 trades the 0.27 µs/step fixed cost against p_oh-exhaustion pads
+    # (a step covers ≈ t2/deg row blocks; low-deg matrices cut early unless
+    # p_oh grows).  kblk sets the band sort granularity: coarser bands
+    # halve the per-stream-row src span (m2 ∝ 1/kblk analytically), so
+    # after planning at the seed kblk the model extrapolates the others and
+    # re-sorts only when a ≥10% win is predicted.
+    deg_r = max(nnz / max(coo.n_row, 1), 0.25)
+    gb0 = int(p.get("gb", X4_GB))
+    t2_cands = (32, 64, 128, 256) if not p.get("t2_fix") else (p["t2_fix"],)
+
+    # plan-time slot sample: sorting the full stream per kblk candidate is
+    # the convert's sort bill at giant scale; an src-RUN sample (contiguous
+    # 8192-slot windows, 1/8 kept) preserves intra-group spacing so walks
+    # measure true spans, and only the winning plan sorts in full
+    plan_mask = None
+    if nnz > SAMPLE_WALK_NNZ and not (p.get("kblk_fix") and p.get("m2_fix")
+                                      and p.get("t2_fix")):
+        plan_mask = (src >> 13) % 8 == 0
+
+    def _plan_at(kblk, sampled=False):
+        bs = 7 + int(np.log2(kblk))
+        gb = max(gb0 - gb0 % kblk, kblk)
+        if sampled and plan_mask is not None:
+            src_p = src[plan_mask]
+            rows_p = rows1[plan_mask]
+            chunk_p = chunk1[plan_mask]
+        else:
+            sampled = False
+            src_p, rows_p, chunk_p = src, rows1, chunk1
+        band = rows_p >> bs
+        n_band = int(band.max(initial=0)) + 2
+        grp_key = chunk_p * np.int64(n_band) + band
+        o2 = hm.argsort_keys(grp_key * np.int64(h1 * LANES + 1) + src_p)
+        src_s = src_p[o2]
         gk_s = grp_key[o2]
         gbnd = np.flatnonzero(np.concatenate([[True],
                                               gk_s[1:] != gk_s[:-1]]))
