@@ -98,10 +98,10 @@ def _xch_route4_kernel(gids_ref, off_ref, cs_ref, win_ref, lane_ref, sub_ref,
         offset off[t] in a large revisited out block (out-block switches
         cost ~µs; the out block now covers ~10⁵ rows, not one bucket).
 
-    ``msel`` decouples the SELECT width from the 8-aligned SLICE width m:
-    the window slice must be sublane-aligned (r4 rule), but the select
-    one-hot only needs the walk's true span — m=16-slice/9-select saves
-    ~40% of the select cost align-8 used to waste.
+    ``msel`` can in principle decouple the SELECT width from the 8-aligned
+    SLICE width m, but the r5 probe measured the msel<m static sub-slice
+    2× SLOWER (Mosaic relayouts the strided view) — callers pass msel == m
+    and planners should simply prefer m = 8.
     """
     t = pl.program_id(0)
 
