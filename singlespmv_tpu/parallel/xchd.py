@@ -64,6 +64,7 @@ class DistXch:
     nnz: int
     R: int
     rows_per: int
+    row0s: tuple             # per-shard first row (balanced contiguous cuts)
     m1: int
     m2: int
     t1: int
@@ -89,8 +90,7 @@ class DistXch:
         R = int(np.prod([axes[a] for a in ([row_axis] if isinstance(
             row_axis, str) else row_axis)]))
         gb = 64
-        rows_per = round_up(cdiv(max(coo.n_row, 1), R), gb * LANES)
-        ng = rows_per // (gb * LANES)
+        grain = gb * LANES
 
         # common plan from the whole-matrix closed form, all knobs fixed so
         # every shard's layout agrees in shape structure
@@ -99,7 +99,33 @@ class DistXch:
             raise ValueError("distxch: infeasible plan")
         rows0 = coo.row.astype(np.int64)
         cols0 = coo.col.astype(np.int64)
-        shard_of = np.minimum(rows0 // rows_per, R - 1)
+
+        # nnz-BALANCED contiguous splits at out-group (gb·128-row) grain:
+        # shards execute in SPMD lockstep, so the slowest shard's padded
+        # stream is the step time — equal-row splits on skewed matrices
+        # waste the light shards (the distributed analog of CSR5's tile
+        # balancing).  Greedy prefix cut at the nnz/R quantiles.
+        n_grain = cdiv(max(coo.n_row, 1), grain)
+        gr_nnz = np.bincount(np.minimum(rows0 // grain, n_grain - 1),
+                             minlength=n_grain).astype(np.float64)
+        cum = np.cumsum(gr_nnz)
+        total = max(cum[-1], 1.0)
+        if n_grain < R:
+            # fewer out-group grains than shards: trailing shards are empty
+            bounds = [min(i, n_grain) for i in range(R)] + [n_grain]
+        else:
+            bounds = [0]
+            for rshard in range(1, R):
+                tgt = total * rshard / R
+                g = int(np.searchsorted(cum, tgt))
+                bounds.append(int(np.clip(g + 1, bounds[-1] + 1,
+                                          n_grain - (R - rshard))))
+            bounds.append(n_grain)
+        row0s = [b * grain for b in bounds[:-1]]
+        ng = max(b1 - b0 for b0, b1 in zip(bounds[:-1], bounds[1:]))
+        rows_per = ng * grain           # padded span per shard (shapes)
+        shard_of = np.searchsorted(np.asarray(row0s[1:] + [coo.n_row + 1]),
+                                   rows0, side="right")
         sub_nnz = np.bincount(shard_of, minlength=R)
         kblk = int(est.get("kblk", 8))
         p_oh = min(int(est.get("p_oh", 16)), gb)
@@ -129,7 +155,7 @@ class DistXch:
         m1_common = None
         for r in range(R):
             m = shard_of == r
-            lr = rows0[m] - r * rows_per
+            lr = rows0[m] - row0s[r]
             lc = cols0[m] - cb0s[r] * LANES
             lv = np.asarray(coo.val)[m]
             if len(lr) == 0:            # keep shapes: one explicit zero
@@ -202,7 +228,8 @@ class DistXch:
         arrays = {n: put(a) for n, a in stacked.items()}
         op = DistXch(
             mesh=mesh, cfg=cfg, n_row=coo.n_row, n_col=coo.n_col,
-            nnz=coo.nnz, R=R, rows_per=rows_per, m1=m1_common,
+            nnz=coo.nnz, R=R, rows_per=rows_per, row0s=tuple(row0s),
+            m1=m1_common,
             m2=states[0].m2, t1=t1, t2=t2, kblk=kblk,
             p_oh=states[0].p_oh, gb=gb, ng=ng, p1=p1, cb_pad=cb_pad,
             x_len=x_len, arrays=arrays)
@@ -252,15 +279,26 @@ class DistXch:
             check_vma=False,
         )
 
+        n_row = self.n_row
+        row0s = self.row0s
+        R = self.R
+
         @jax.jit
         def run(arrays, x):
             xp = jnp.zeros((self.x_len,), x.dtype).at[: x.shape[0]].set(x)
-            y = sharded(arrays["win1"], arrays["lane1"], arrays["sub1"],
-                        arrays["val1"], arrays["gids"], arrays["off"],
-                        arrays["win2"], arrays["lane2"], arrays["sub2"],
-                        arrays["hm2"], arrays["sig2"], arrays["idx2"],
-                        arrays["vis"], arrays["cb0"], xp)
-            return y.reshape(-1)[: self.n_row]
+            y_sh = sharded(arrays["win1"], arrays["lane1"], arrays["sub1"],
+                           arrays["val1"], arrays["gids"], arrays["off"],
+                           arrays["win2"], arrays["lane2"], arrays["sub2"],
+                           arrays["hm2"], arrays["sig2"], arrays["idx2"],
+                           arrays["vis"], arrays["cb0"], xp)
+            y_sh = y_sh.reshape(R, rows_per)
+            # balanced cuts: shard spans differ — R static update slices
+            y = jnp.zeros((n_row + rows_per,), y_sh.dtype)
+            for r in range(R):
+                take = min(rows_per, n_row + rows_per - row0s[r])
+                y = jax.lax.dynamic_update_slice(y, y_sh[r][:take],
+                                                 (row0s[r],))
+            return y[:n_row]
 
         return run
 

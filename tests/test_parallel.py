@@ -237,3 +237,27 @@ class TestDistXch:
         ref = dense @ X
         err = np.abs(Y - ref).max() / max(np.abs(ref).max(), 1e-9)
         assert err < 2e-5, err
+
+    def test_balanced_cuts_skewed(self):
+        """nnz-balanced contiguous cuts: a matrix with all its mass in the
+        top rows must not put everything on shard 0's padded stream."""
+        from singlespmv_tpu.parallel import DistXch
+        from singlespmv_tpu.core.types import COOMatrix
+
+        rng = np.random.default_rng(1)
+        n = 65536
+        rows = np.concatenate([rng.integers(0, n // 8, 120000),
+                               rng.integers(n // 8, n, 40000)])
+        cols = rng.integers(0, n, rows.size)
+        coo = COOMatrix.from_triplets(n, n, rows, cols,
+                                      rng.uniform(1, 2, rows.size),
+                                      sum_duplicates=True)
+        mesh = make_mesh((("row", 4),))
+        op = DistXch.convert(coo, self.F32, mesh)
+        spans = np.diff(list(op.row0s) + [coo.n_row])
+        assert spans[0] < spans[-1]  # dense head got a narrower span
+        x = create_random_vector(coo.n_col, seed=5).astype(np.float32)
+        y = np.asarray(op(x))
+        ref = reference_spmv(coo, x.astype(np.float64))
+        err = np.abs(y - ref).max() / max(np.abs(ref).max(), 1e-9)
+        assert err < 2e-5, err
