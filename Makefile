@@ -9,7 +9,8 @@ CXX ?= g++
 CXXFLAGS ?= -O3 -shared -fPIC -std=c++17
 
 NATIVE_DIR := singlespmv_tpu/core/native
-LIBS := $(NATIVE_DIR)/_mmio.so $(NATIVE_DIR)/_logfmt.so
+LIBS := $(NATIVE_DIR)/_mmio.so $(NATIVE_DIR)/_logfmt.so \
+        $(NATIVE_DIR)/_sort.so $(NATIVE_DIR)/_scatter.so
 
 .PHONY: all native test bench clean
 
@@ -21,6 +22,12 @@ $(NATIVE_DIR)/_mmio.so: $(NATIVE_DIR)/mmio_native.cpp
 	$(CXX) $(CXXFLAGS) $< -o $@
 
 $(NATIVE_DIR)/_logfmt.so: $(NATIVE_DIR)/logfmt_native.cpp
+	$(CXX) $(CXXFLAGS) $< -o $@
+
+$(NATIVE_DIR)/_sort.so: $(NATIVE_DIR)/sort_native.cpp
+	$(CXX) $(CXXFLAGS) $< -o $@
+
+$(NATIVE_DIR)/_scatter.so: $(NATIVE_DIR)/scatter_native.cpp
 	$(CXX) $(CXXFLAGS) $< -o $@
 
 test: native

@@ -57,3 +57,12 @@ def argsort_keys(keys: np.ndarray) -> np.ndarray:
         if out is not None:
             return out
     return np.argsort(keys, kind="stable")
+
+
+def scatter2d(grid, rows, lanes, vals):
+    """grid[rows, lanes] = vals — native OpenMP scatter when available
+    (positions unique by construction in convert layouts), numpy fallback."""
+    from . import native
+
+    if not native.grid_scatter(grid, rows, lanes, vals):
+        grid[rows, lanes] = vals

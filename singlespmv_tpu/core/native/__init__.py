@@ -316,3 +316,41 @@ def radix_argsort(keys: np.ndarray) -> Optional[np.ndarray]:
     out = np.zeros(len(k), dtype=np.int64)
     rc = lib.radix_argsort_u64(k, len(k), out)
     return out if rc == 0 else None
+
+
+# ----------------------------------------------------------- grid scatter ---
+
+def get_scatter_lib() -> Optional[ctypes.CDLL]:
+    return _get_lib("_scatter.so", "scatter_native.cpp")
+
+
+_SCATTER_FNS = {}
+
+
+def grid_scatter(grid: np.ndarray, rows: np.ndarray, lanes: np.ndarray,
+                 vals) -> bool:
+    """grid[rows, lanes] = vals with OpenMP (positions must be unique —
+    every convert slot owns one grid cell).  Returns False when the native
+    library is unavailable (callers fall back to numpy fancy indexing)."""
+    lib = get_scatter_lib()
+    if lib is None or grid.ndim != 2 or not grid.flags.c_contiguous:
+        return False
+    dt = grid.dtype
+    name = {np.dtype(np.int8): "grid_scatter_i8",
+            np.dtype(np.float32): "grid_scatter_f32",
+            np.dtype(np.float64): "grid_scatter_f64"}.get(dt)
+    if name is None:
+        return False
+    if name not in _SCATTER_FNS:
+        fn = getattr(lib, name)
+        p = np.ctypeslib.ndpointer(dt, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        fn.restype = ctypes.c_int
+        fn.argtypes = [p, ctypes.c_int64, i64p, i64p, p, ctypes.c_int64]
+        _SCATTER_FNS[name] = fn
+    fn = _SCATTER_FNS[name]
+    rows = np.ascontiguousarray(rows, np.int64)
+    lanes = np.ascontiguousarray(lanes, np.int64)
+    vals_a = np.ascontiguousarray(np.broadcast_to(vals, rows.shape), dt)
+    fn(grid, grid.shape[1], rows, lanes, vals_a, len(rows))
+    return True

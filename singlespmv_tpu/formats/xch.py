@@ -558,15 +558,16 @@ def _convert_v3(coo: COOMatrix, cfg: Config, plan: dict = None) -> XchState:
     hm2 = hm.zeros((h2, LANES), np.int8)
     src_row = src_f >> 7
     chunk_f = src_row // np.int64(p1)
-    lane2[sr2, li2] = (src_f & (LANES - 1)).astype(np.int8)
-    sub2[sr2, li2] = (src_row - chunk_f * p1 - win2[sr2]).astype(np.int8)
+    hm.scatter2d(lane2, sr2, li2, (src_f & (LANES - 1)).astype(np.int8))
+    hm.scatter2d(sub2, sr2, li2,
+                 (src_row - chunk_f * p1 - win2[sr2]).astype(np.int8))
 
     new_run = hm.zeros(nnz, np.bool_)
     new_run[0] = True
     new_run[1:] = (rows_f[1:] != rows_f[:-1]) | (sr2[1:] != sr2[:-1])
     qpos = sr2 * LANES + li2
     head_q = np.maximum.accumulate(np.where(new_run, qpos, -1))
-    hm2[sr2, li2] = (head_q - sr2 * LANES - 1).astype(np.int8)
+    hm.scatter2d(hm2, sr2, li2, (head_q - sr2 * LANES - 1).astype(np.int8))
 
     end = hm.zeros(nnz, np.bool_)
     end[:-1] = new_run[1:]
@@ -782,9 +783,9 @@ def _pass1_layout(cols0_s, vals0_s, nnz, n_col, k_slots, p, dtype):
     val1 = hm.zeros((h1, LANES), dtype)
     sr1 = final1[np.repeat(hm.arange(len(sizes1)), sizes1)]
     li1 = hm.arange(nnz) - np.repeat(wslot_starts(sizes1), sizes1)
-    lane1[sr1, li1] = (cols_s & (LANES - 1)).astype(np.int8)
-    sub1[sr1, li1] = ((cols_s >> 7) - win1[sr1]).astype(np.int8)
-    val1[sr1, li1] = vals0_s[o1]
+    hm.scatter2d(lane1, sr1, li1, (cols_s & (LANES - 1)).astype(np.int8))
+    hm.scatter2d(sub1, sr1, li1, ((cols_s >> 7) - win1[sr1]).astype(np.int8))
+    hm.scatter2d(val1, sr1, li1, vals0_s[o1].astype(val1.dtype))
     src = sr1 * np.int64(LANES) + li1
     chunk1 = g1[o1]
     return dict(o1=o1, src=src, chunk1=chunk1, n_chunks=n_chunks, p1=p1,
@@ -1086,15 +1087,16 @@ def _convert_v4(coo: COOMatrix, cfg: Config, p: dict) -> Xch4State:
     hm2 = hm.zeros((h2, LANES), np.int8)
     src_row = src_f >> 7
     chunk_f = src_row // np.int64(p1)
-    lane2[sr2, li2] = (src_f & (LANES - 1)).astype(np.int8)
-    sub2[sr2, li2] = (src_row - chunk_f * p1 - win2[sr2]).astype(np.int8)
+    hm.scatter2d(lane2, sr2, li2, (src_f & (LANES - 1)).astype(np.int8))
+    hm.scatter2d(sub2, sr2, li2,
+                 (src_row - chunk_f * p1 - win2[sr2]).astype(np.int8))
 
     new_run = hm.zeros(nnz, np.bool_)
     new_run[0] = True
     new_run[1:] = (rows_f[1:] != rows_f[:-1]) | (sr2[1:] != sr2[:-1])
     qpos = sr2 * LANES + li2
     head_q = np.maximum.accumulate(np.where(new_run, qpos, -1))
-    hm2[sr2, li2] = (head_q - sr2 * LANES - 1).astype(np.int8)
+    hm.scatter2d(hm2, sr2, li2, (head_q - sr2 * LANES - 1).astype(np.int8))
 
     end = hm.zeros(nnz, np.bool_)
     end[:-1] = new_run[1:]
@@ -1310,9 +1312,9 @@ def _pass1_layout(cols0_s, vals0_s, nnz, n_col, k_slots, p, dtype):
     val1 = hm.zeros((h1, LANES), dtype)
     sr1 = final1[np.repeat(hm.arange(len(sizes1)), sizes1)]
     li1 = hm.arange(nnz) - np.repeat(wslot_starts(sizes1), sizes1)
-    lane1[sr1, li1] = (cols_s & (LANES - 1)).astype(np.int8)
-    sub1[sr1, li1] = ((cols_s >> 7) - win1[sr1]).astype(np.int8)
-    val1[sr1, li1] = vals0_s[o1]
+    hm.scatter2d(lane1, sr1, li1, (cols_s & (LANES - 1)).astype(np.int8))
+    hm.scatter2d(sub1, sr1, li1, ((cols_s >> 7) - win1[sr1]).astype(np.int8))
+    hm.scatter2d(val1, sr1, li1, vals0_s[o1].astype(val1.dtype))
     src = sr1 * np.int64(LANES) + li1
     chunk1 = g1[o1]
     return dict(o1=o1, src=src, chunk1=chunk1, n_chunks=n_chunks, p1=p1,
@@ -1623,15 +1625,16 @@ def _convert_v4(coo: COOMatrix, cfg: Config, p: dict) -> Xch4State:
     hm2 = hm.zeros((h2, LANES), np.int8)
     src_row = src_f >> 7
     chunk_f = st_cs[sr2 // t2]
-    lane2[sr2, li2] = (src_f & (LANES - 1)).astype(np.int8)
-    sub2[sr2, li2] = (src_row - chunk_f * p1 - win2[sr2]).astype(np.int8)
+    hm.scatter2d(lane2, sr2, li2, (src_f & (LANES - 1)).astype(np.int8))
+    hm.scatter2d(sub2, sr2, li2,
+                 (src_row - chunk_f * p1 - win2[sr2]).astype(np.int8))
 
     new_run = hm.zeros(nnz, np.bool_)
     new_run[0] = True
     new_run[1:] = (rows_f[1:] != rows_f[:-1]) | (sr2[1:] != sr2[:-1])
     qpos = sr2 * LANES + li2
     head_q = np.maximum.accumulate(np.where(new_run, qpos, -1))
-    hm2[sr2, li2] = (head_q - sr2 * LANES - 1).astype(np.int8)
+    hm.scatter2d(hm2, sr2, li2, (head_q - sr2 * LANES - 1).astype(np.int8))
 
     end = hm.zeros(nnz, np.bool_)
     end[:-1] = new_run[1:]
@@ -1645,7 +1648,9 @@ def _convert_v4(coo: COOMatrix, cfg: Config, p: dict) -> Xch4State:
         "xch4: run outside its stream row's kblk band"
     l_run = r_run & np.int64(LANES - 1)
     idx2 = hm.full((kblk, h2, LANES), -1, np.int8)
-    idx2[j_run, sr_run, l_run] = e_lane.astype(np.int8)
+    hm.scatter2d(idx2.reshape(kblk * h2, LANES),
+                 j_run * np.int64(h2) + sr_run, l_run,
+                 e_lane.astype(np.int8))
 
     # ---- SMEM-sized pallas_call chunks (cut at out-group changes) ----
     n_grp_tot = int(st_gid[-1]) + 1 if n_steps else 0

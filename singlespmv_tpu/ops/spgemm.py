@@ -93,17 +93,37 @@ def spgemm_coo(a: COOMatrix, b: COOMatrix, cfg: Config = None) -> COOMatrix:
         am = rows_g[a.col.astype(np.int64)]
         if not am.any():
             continue
-        a_sub = COOMatrix(n_row=a.n_row, n_col=a.n_col,
-                          row=a.row[am], col=a.col[am], val=a.val[am])
-        b_sub = COOMatrix(n_row=b.n_row, n_col=b.n_col,
-                          row=b.row[bm], col=b.col[bm], val=b.val[bm])
+        # COMPACT the group's B-row space: the ELL plane is (K_g, n_rows),
+        # so leaving B's full row space makes the dense-row group allocate
+        # K_g × n_row dense (r5: a 20k-deg row in a 100k B meant a 15 GiB
+        # plane and ~130 GB of expansion — the OOM that took the round's
+        # TPU relay down ran exactly this shape)
+        gsel = np.flatnonzero(rows_g)
+        remap = np.zeros(b.n_row, np.int64)
+        remap[gsel] = np.arange(len(gsel))
+        # also compact A's ROW space to the rows that touch this group —
+        # the expansion rectangle is (K_b, K_a, n_rows_A_pad), so a dense-B
+        # group must only carry its few source rows of A
+        arows = np.unique(a.row[am].astype(np.int64))
+        armap = np.zeros(a.n_row, np.int64)
+        armap[arows] = np.arange(len(arows))
+        a_sub = COOMatrix(n_row=len(arows), n_col=len(gsel),
+                          row=armap[a.row[am].astype(np.int64)],
+                          col=remap[a.col[am].astype(np.int64)],
+                          val=a.val[am])
+        b_sub = COOMatrix(n_row=len(gsel), n_col=b.n_col,
+                          row=remap[b.row[bm].astype(np.int64)],
+                          col=b.col[bm], val=b.val[bm])
         a_state = ell_format.convert(a_sub, cfg)
         b_state = ell_format.convert(b_sub, cfg)
         keys, vals, n = spgemm_arrays(a_state, b_state, b.n_col)
         keys = np.asarray(keys)[: int(n)]
         vals = np.asarray(vals)[: int(n)]
         live = vals != 0
-        parts.append((keys[live], vals[live]))
+        keys, vals = keys[live], vals[live]
+        # local A rows -> global output rows
+        keys = arows[keys // b.n_col] * np.int64(b.n_col) + keys % b.n_col
+        parts.append((keys, vals))
     if not parts:
         return COOMatrix.from_triplets(a.n_row, b.n_col, [], [], [],
                                        sort=True)
