@@ -40,8 +40,12 @@ def main():
                  calibrate_seconds=0.4, n_trials=5)
     rows = run_suite(small, cfg=cfg, out="results/r5_tpu_suite.tsv",
                      append=True, cache_dir="results/state_cache", log=log)
+    # r5: the big-matrix cache is PRE-WARMED on the CPU backend (picks are
+    # trial-free above 20M nnz) — giants load their states instead of
+    # reconverting; a miss still converts + saves (readback of a GB-scale
+    # state through the tunnel is the fragile path, but hits dominate).
     rows += run_suite(big, cfg=cfg, out="results/r5_tpu_suite.tsv",
-                      append=True, log=log)
+                      append=True, cache_dir="results/state_cache", log=log)
     log(f"suite summary: {summarize(rows)}")
 
 
