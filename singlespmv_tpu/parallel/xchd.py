@@ -76,6 +76,8 @@ class DistXch:
     p1: int                  # product rows per shard (single chunk)
     cb_pad: int              # footprint col-blocks (+ window margin)
     x_len: int               # padded global x length (multiple of R)
+    x_mode: str              # "ring" (ppermute halo rounds) | "allgather"
+    n_rounds: tuple          # ring rounds (backward, forward owner reach)
     arrays: dict             # stacked device arrays, leading dim R
     _jitted: object = None
 
@@ -222,6 +224,25 @@ class DistXch:
         x_len = round_up(max(cb0s[r] * LANES + cb_pad * LANES
                              for r in range(R)) + LANES, R * LANES)
 
+        # x exchange mode: when every shard's column footprint spans only a
+        # few owners' x slices (banded/local structure), a ppermute ring of
+        # n_rounds moves only what is needed; scattered footprints fall
+        # back to one tiled all_gather.  Ring rounds k deliver owner
+        # (r - k) mod R, so the round count is the worst backward distance
+        # to a needed owner.
+        L = x_len // R
+        n_bwd = n_fwd = 0
+        for r in range(R):
+            if sub_nnz[r] == 0:
+                continue        # dummy shard: gathers multiply a 0 value
+            lo = cb0s[r] * LANES
+            hi = lo + cb_pad * LANES
+            for o in range(R):
+                if o * L < hi and o * L + L > lo:
+                    n_bwd = max(n_bwd, max(r - o, 0))
+                    n_fwd = max(n_fwd, max(o - r, 0))
+        x_mode = "ring" if (R > 1 and n_bwd + n_fwd <= R - 2) else "allgather"
+
         def put(a):
             return jax.device_put(a, NamedSharding(mesh, P(row_axis)))
 
@@ -229,6 +250,7 @@ class DistXch:
         op = DistXch(
             mesh=mesh, cfg=cfg, n_row=coo.n_row, n_col=coo.n_col,
             nnz=coo.nnz, R=R, rows_per=rows_per, row0s=tuple(row0s),
+            x_mode=x_mode, n_rounds=(n_bwd, n_fwd),
             m1=m1_common,
             m2=states[0].m2, t1=t1, t2=t2, kblk=kblk,
             p_oh=states[0].p_oh, gb=gb, ng=ng, p1=p1, cb_pad=cb_pad,
@@ -253,12 +275,49 @@ class DistXch:
 
         from ..ops.pallas.xch import xch_mul, xch_route4
 
+        x_mode, n_rounds, R = self.x_mode, self.n_rounds, self.R
+        x_len = self.x_len
+
+        def _assemble_x(cb0, x_loc):
+            fp0 = cb0[0, 0] * LANES
+            if x_mode != "ring":
+                x_all = jax.lax.all_gather(x_loc, row_axis, tiled=True)
+                return jax.lax.dynamic_slice(
+                    x_all, (fp0,), (cb_pad * LANES,)).reshape(cb_pad, LANES)
+            # bidirectional ppermute halo ring: the backward chain's round
+            # k delivers owner me-k, the forward chain's owner me+k (the
+            # balanced row cuts misalign shards and x owners, so needed
+            # owners sit on BOTH sides).  Slices land in a footprint
+            # buffer guard-padded by L each side; unneeded owners clamp
+            # into discarded space and are masked off.
+            L = x_len // R
+            me = jax.lax.axis_index(row_axis)
+            buf = jnp.zeros((L + cb_pad * LANES + L,), x_loc.dtype)
+            n_bwd, n_fwd = n_rounds
+
+            def _deposit(buf, xk, owner):
+                pos = owner * L - fp0 + L
+                upd = jax.lax.dynamic_update_slice(buf, xk, (pos,))
+                needed = jnp.logical_and(
+                    owner * L < fp0 + cb_pad * LANES, owner * L + L > fp0)
+                return jnp.where(needed, upd, buf)
+
+            buf = _deposit(buf, x_loc.reshape(-1), me)
+            xk = x_loc.reshape(-1)
+            for k in range(1, n_bwd + 1):
+                xk = jax.lax.ppermute(
+                    xk, row_axis, [(i, (i + 1) % R) for i in range(R)])
+                buf = _deposit(buf, xk, (me - k) % R)
+            xk = x_loc.reshape(-1)
+            for k in range(1, n_fwd + 1):
+                xk = jax.lax.ppermute(
+                    xk, row_axis, [(i, (i - 1) % R) for i in range(R)])
+                buf = _deposit(buf, xk, (me + k) % R)
+            return buf[L: L + cb_pad * LANES].reshape(cb_pad, LANES)
+
         def local(win1, lane1, sub1, val1, gids, off, win2, lane2, sub2,
                   hm2, sig2, idx2, vis, cb0, x_loc):
-            x_all = jax.lax.all_gather(x_loc, row_axis, tiled=True)
-            x_tab = jax.lax.dynamic_slice(
-                x_all, (cb0[0, 0] * LANES,), (cb_pad * LANES,)
-            ).reshape(cb_pad, LANES)
+            x_tab = _assemble_x(cb0, x_loc)
             prod = xch_mul(win1[0], lane1[0], sub1[0], val1[0], x_tab,
                            m1, t1)
             prod3 = prod.reshape(1, p1, LANES)

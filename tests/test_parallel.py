@@ -261,3 +261,27 @@ class TestDistXch:
         ref = reference_spmv(coo, x.astype(np.float64))
         err = np.abs(y - ref).max() / max(np.abs(ref).max(), 1e-9)
         assert err < 2e-5, err
+
+    def test_ring_exchange_on_banded(self):
+        """Banded footprints take the ppermute halo ring (few rounds), and
+        the result matches the all-gather path exactly."""
+        from singlespmv_tpu.parallel import DistXch
+
+        coo = generate("band", 65536, 17, seed=2)
+        mesh = make_mesh((("row", 8),))
+        op = DistXch.convert(coo, self.F32, mesh)
+        assert op.x_mode == "ring" and sum(op.n_rounds) <= 3, \
+            (op.x_mode, op.n_rounds)
+        x = create_random_vector(coo.n_col, seed=5).astype(np.float32)
+        y = np.asarray(op(x))
+        ref = reference_spmv(coo, x.astype(np.float64))
+        err = np.abs(y - ref).max() / max(np.abs(ref).max(), 1e-9)
+        assert err < 2e-5, err
+
+    def test_scattered_takes_allgather(self):
+        from singlespmv_tpu.parallel import DistXch
+
+        coo = powerlaw(20000, 240000, seed=4)
+        mesh = make_mesh((("row", 8),))
+        op = DistXch.convert(coo, self.F32, mesh)
+        assert op.x_mode == "allgather"
