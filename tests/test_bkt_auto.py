@@ -110,7 +110,10 @@ class TestAuto:
         # XLA-emulated dia (the auto costs carry a measured ~20x f64
         # emulation penalty on the non-df64 formats)
         ("band", lambda: generate("band", 2048, 16, seed=1),
-         {"dia", "slab", "slab2"}),
+         # r5: xch joined the df64-native set — its band peel carries the
+         # diagonals as compensated (hi, lo) planes, beating the 20x
+         # emulated-f64 dia under dtype=float64
+         {"dia", "slab", "slab2", "xch"}),
         ("dense", lambda: generate("dense", 256, seed=2), {"dense", "bsr"}),
         ("powerlaw", lambda: powerlaw(4096, 4096 * 24, seed=3),
          {"bkt", "bkt_g", "bsr", "dense", "slab", "slab2"}),
