@@ -70,6 +70,9 @@ def default_todo() -> str:
     rows.append("bcoo,bcoo,optimized,,,")
     rows.append("bsr,bsr,optimized,,,")
     rows.append("bkt,bkt,optimized,,,")
+    rows.append("slab,slab,optimized,,,")
+    rows.append("hyb,hyb,optimized,,,")
+    rows.append("xch,xch,optimized,,,")
     rows.append("auto,auto,optimized,,,")
     for w in (256, 512, 1024, 2048, 4096, 8192, 16384):
         rows.append(f"ss-simple-{w},ss,simple,{w},,")
