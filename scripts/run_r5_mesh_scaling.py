@@ -109,20 +109,42 @@ def main():
             return float(np.median(pers))
 
         log("=== real-chip: DistXch(R=1) overhead vs bare xch ===")
+        # Two controls: (a) the fully-tuned single-chip xch (auto plan with
+        # band peel / long-row fast-track / measured t2) — the headline
+        # engine; (b) bare xch forced to DistXch's COMMON plan (no_long /
+        # no_peel, fixed knobs) — isolates the shard_map + x-assemble cost
+        # from the plan-generality cost (structure peels are per-shard
+        # layout-divergent and not yet common-planned).
         for name, coo in mats:
             x = create_random_vector(coo.n_col).astype(np.float32)
             xd = jnp.asarray(x)
             st = xch.convert(coo, cfg)
             t_bare = bench_chained(xch.spmv, st, xd)
-            log(f"{name}: bare converted+timed")
+            log(f"{name}: tuned bare converted+timed")
+            est = xch.estimate_v4(coo, cfg, no_long=True)
+            m2c = xch._align8(max(int(est.get("m2_hint", 8)), 1),
+                              xch.M2_CAP)
+            common = {"feasible": True, "route_v": 4,
+                      "k_slots": int(max(coo.nnz, 16 * 128)),
+                      "kblk": int(est.get("kblk", 8)), "kblk_fix": True,
+                      "p_oh": min(int(est.get("p_oh", 16)), 64),
+                      "p_oh_fix": min(int(est.get("p_oh", 16)), 64),
+                      "gb": 64, "gb_fix": True, "m2_fix": m2c,
+                      "t1_fix": 128, "t2_fix": 64,
+                      "no_long": True, "no_peel": True, "no_refine": True}
+            stc = xch._convert_v4(coo, cfg, common)
+            t_ctrl = bench_chained(xch.spmv, stc, xd)
+            log(f"{name}: common-plan control converted+timed")
             mesh = make_mesh((("row", 1),))
             op = DistXch.convert(coo, cfg, mesh)
             t_dist = bench_chained(
                 lambda s, a: op._jitted(s, a), op.arrays, xd)
             g = 2 * coo.nnz / 1e9
-            log(f"{name}: bare {t_bare*1e6:.0f} us ({g/t_bare:.2f} GF) | "
+            log(f"{name}: tuned {t_bare*1e6:.0f} us ({g/t_bare:.2f} GF) | "
+                f"common-plan {t_ctrl*1e6:.0f} us ({g/t_ctrl:.2f} GF) | "
                 f"dist R=1 {t_dist*1e6:.0f} us ({g/t_dist:.2f} GF) | "
-                f"overhead {100*(t_dist/t_bare-1):+.1f}%")
+                f"shard overhead {100*(t_dist/t_ctrl-1):+.1f}% | "
+                f"plan generality {100*(t_ctrl/t_bare-1):+.1f}%")
 
     if args.mesh:
         log("=== 8-device CPU mesh scaling (oversubscribed host) ===")
